@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+All tests run on CPU with 8 virtual XLA devices so data-parallel sharding is
+exercised without TPU hardware (the idiomatic JAX analog of multi-node
+testing without a cluster).
+
+Note: the environment's sitecustomize imports jax at interpreter startup and
+pins JAX_PLATFORMS, so env vars are too late here — the backend is switched
+through jax.config before first device use instead.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests spawn
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,79 @@
+"""Visual frontend: 3D conv stem -> per-frame ResNet-18 -> biGRU context.
+
+Capability parity with reference src/models/visual_front.py:4-37.
+Layout is channels-last NDHWC: video (B, T, 112, 112, 1).
+
+Outputs:
+- ``phon``: per-frame "phoneme-level" features (B, T, 512)
+- ``sent``: sentence-level context from the biGRU + projection (B, T, 512)
+
+(The reference returns sent as (B, 512, T); this framework is uniformly
+time-major.)
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vcagan.nn.common import PReLU, batch_norm
+from vcagan.nn.gru import BiGRU
+from vcagan.nn.resnet import ResNetTrunk
+
+
+class VisualFront(nn.Module):
+    stem_channels: int = 64
+    feature_dim: int = 512
+    gru_hidden: int = 512
+    gru_layers: int = 2
+    gru_dropout: float = 0.3
+    frontend_dropout: float = 0.3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, video: jax.Array, train: bool = True
+    ) -> Tuple[jax.Array, jax.Array]:
+        # video: (B, T, H, W, 1)
+        b, t = video.shape[0], video.shape[1]
+
+        # 3D stem: k(5,7,7) s(1,2,2) + BN + PReLU + maxpool (1,3,3)/(1,2,2)
+        # (reference visual_front.py:10-15): 112 -> 56 -> 28.
+        x = nn.Conv(
+            self.stem_channels,
+            (5, 7, 7),
+            strides=(1, 2, 2),
+            padding=((2, 2), (3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="stem_conv",
+        )(video)
+        x = batch_norm(train, "stem_bn")(x)
+        x = PReLU(self.stem_channels, name="stem_act")(x)
+        x = nn.max_pool(
+            x,
+            window_shape=(1, 3, 3),
+            strides=(1, 2, 2),
+            padding=((0, 0), (1, 1), (1, 1)),
+        )
+
+        # Per-frame trunk on a (B*T, 28, 28, 64) mega-batch.
+        h, w, c = x.shape[2], x.shape[3], x.shape[4]
+        x = x.reshape(b * t, h, w, c)
+        x = ResNetTrunk(dtype=self.dtype, name="resnet")(x, train)  # (B*T, 512)
+        x = nn.Dropout(self.frontend_dropout, deterministic=not train)(x)
+        phon = x.reshape(b, t, self.feature_dim)
+
+        # Sentence context: 2-layer biGRU + Linear(1024 -> 512)
+        # (reference visual_front.py:20-21,33-35).
+        sent = BiGRU(
+            hidden=self.gru_hidden,
+            num_layers=self.gru_layers,
+            dropout=self.gru_dropout,
+            name="sentence_encoder",
+        )(phon, train)
+        sent = nn.Dense(self.feature_dim, name="fc")(sent)  # (B, T, 512)
+        return phon, sent
