@@ -1,0 +1,110 @@
+"""Benchmark: flagship inference throughput on one TPU chip.
+
+Path measured (the BASELINE.json north-star config): batch of 75-frame GRID
+clips -> visual front -> generator (3-scale mel, Pallas attention) ->
+postnet -> 60-iteration Griffin-Lim vocoding -> waveform.  Reported as
+mel-frames/sec/chip.
+
+Baseline: the PyTorch reference running the same path on CPU
+(tools/measure_torch_baseline.py, measured on this machine: batch=4,
+75 frames, torch.stft-based Griffin-Lim — conservative in the reference's
+favor): 151.9 mel-frames/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TORCH_CPU_BASELINE = 151.9  # mel-frames/sec; tools/measure_torch_baseline.py
+
+BATCH = 16
+FRAMES = 75
+MEL_FRAMES = 4 * FRAMES
+
+
+def build():
+    from vcagan.configs import AudioConfig
+    from vcagan.dsp import MelPipeline
+    from vcagan.train import VCAGANModules
+
+    modules = VCAGANModules.create()
+    params, batch_stats = modules.init_all(
+        jax.random.PRNGKey(0), batch_size=2, video_frames=20, image_size=48
+    )
+    g_params = {k: params[k] for k in ("v_front", "gen", "post")}
+    g_stats = {k: batch_stats[k] for k in ("v_front", "gen", "post")}
+    pipe = MelPipeline(AudioConfig())
+
+    def flagship(g_params, g_stats, video, vid_len, rng):
+        phon, sent = modules.v_front.apply(
+            {"params": g_params["v_front"], "batch_stats": g_stats["v_front"]},
+            video,
+            train=False,
+        )
+        _, _, g3 = modules.gen.apply(
+            {"params": g_params["gen"], "batch_stats": g_stats["gen"]},
+            sent,
+            phon,
+            vid_len,
+            train=False,
+            rngs={"noise": rng},
+        )
+        gs = modules.post.apply(
+            {"params": g_params["post"], "batch_stats": g_stats["post"]},
+            g3,
+            train=False,
+        )
+        spec = jnp.maximum(jnp.swapaxes(gs, 1, 2), 0.0)  # (B, T, 321)
+        wav = pipe.inverse_spec(spec, rng)
+        return wav
+
+    return jax.jit(flagship), g_params, g_stats
+
+
+def main():
+    from vcagan.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    fn, g_params, g_stats = build()
+    rng = np.random.default_rng(0)
+    video = jnp.asarray(
+        rng.standard_normal((BATCH, FRAMES, 112, 112, 1)), jnp.float32
+    )
+    vid_len = jnp.full((BATCH,), FRAMES, jnp.int32)
+    key = jax.random.PRNGKey(1)
+
+    # Warmup / compile.  NOTE: a scalar readback (float(...)) is the sync
+    # point — on tunneled TPU backends block_until_ready can return before
+    # execution finishes, giving dispatch-only (bogus) timings.
+    for i in range(2):
+        out = fn(g_params, g_stats, video, vid_len, key)
+        _ = float(jnp.sum(jnp.abs(out)))
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        out = fn(g_params, g_stats, video, vid_len, jax.random.PRNGKey(i))
+        _ = float(jnp.sum(jnp.abs(out)))
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    mel_fps = BATCH * MEL_FRAMES / best
+    print(
+        json.dumps(
+            {
+                "metric": "mel_frames_per_sec_per_chip",
+                "value": round(mel_fps, 1),
+                "unit": "mel-frames/s",
+                "vs_baseline": round(mel_fps / TORCH_CPU_BASELINE, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

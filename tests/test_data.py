@@ -1,0 +1,110 @@
+"""Data pipeline tests: splits parsing, transforms, synthetic end-to-end."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcagan.configs import AudioConfig, DataConfig
+from vcagan.data import SyntheticLipSpeech, grid_file_list, prepare_clip
+from vcagan.data.device_pipeline import make_device_pipeline
+from vcagan.data.grid import GridDataset
+
+
+class TestSplits:
+    def test_overlap_and_subject_lists(self):
+        with tempfile.TemporaryDirectory() as d:
+            with open(os.path.join(d, "overlap_train.txt"), "w") as f:
+                f.write("mpg_6000/s1/bbaf2n\nmpg_6000/s2/bbaf3s\n")
+            files = grid_file_list("/corpus", "train", "overlap", splits_dir=d)
+            assert files == ["/corpus/s1/bbaf2n.mp4", "/corpus/s2/bbaf3s.mp4"]
+
+            with open(os.path.join(d, "train_4.txt"), "w") as f:
+                f.write("s1/video/a.mp4\ns29/video/b.mp4\n")
+            only_s1 = grid_file_list("/corpus", "train", "s1", splits_dir=d)
+            assert only_s1 == ["/corpus/s1/video/a.mp4"]
+            four = grid_file_list("/corpus", "train", "four", splits_dir=d)
+            assert len(four) == 2
+
+    def test_unseen_mode_filter(self):
+        with tempfile.TemporaryDirectory() as d:
+            with open(os.path.join(d, "unseen_splits.txt"), "w") as f:
+                f.write("train/s1/a\nval/s2/b\ntest/s3/c\n")
+            files = grid_file_list(
+                "/corpus", "val", "unseen", splits_dir=d, check_exists=False
+            )
+            assert files == ["/corpus/s2/video/b.mp4"]
+
+
+class TestTransforms:
+    def test_prepare_clip_shapes_and_stats(self):
+        frames = jnp.asarray(
+            np.random.default_rng(0).integers(0, 255, (5, 256, 256, 3), np.uint8)
+        )
+        out = prepare_clip(frames, augment=False)
+        assert out.shape == (5, 112, 112, 1)
+        # normalized: uniform [0,1] pixels -> mean approx (0.5-0.4136)/0.17
+        assert abs(float(out.mean()) - (0.5 - 0.4136) / 0.17) < 0.1
+
+    def test_flip_is_clip_consistent(self):
+        frames = jnp.asarray(
+            np.random.default_rng(1).integers(0, 255, (4, 256, 256, 3), np.uint8)
+        )
+        # find a key that flips
+        for seed in range(10):
+            key = jax.random.PRNGKey(seed)
+            k_flip, _ = jax.random.split(key)
+            if bool(jax.random.bernoulli(k_flip, 0.5)):
+                break
+        flipped = prepare_clip(frames, key, augment=False)  # no aug -> identity
+        base = prepare_clip(frames)
+        np.testing.assert_allclose(np.asarray(flipped), np.asarray(base))
+
+    def test_random_erase_zeroes_patch(self):
+        from vcagan.data.transforms import random_erase
+
+        x = jnp.ones((3, 112, 112, 1))
+        out = random_erase(x, jax.random.PRNGKey(0), 56)
+        frac = float((out == 0).mean())
+        assert 0.05 < frac < 0.35  # 56^2/112^2 = 0.25 max, less when clipped
+
+
+class TestSyntheticEndToEnd:
+    def test_batch_through_device_pipeline(self):
+        source = SyntheticLipSpeech(num_clips=4, video_frames=30)
+        ds = GridDataset(
+            source,
+            AudioConfig(),
+            DataConfig(window_size=20),
+            mode="train",
+            seed=0,
+        )
+        raw = next(ds.epoch(batch_size=2))
+        assert raw["video_raw"].shape == (2, 20, 256, 256, 3)
+        assert raw["wav"].shape == (2, 20 * 4 * 160)
+
+        process = make_device_pipeline(AudioConfig(), DataConfig(), augment=True)
+        batch = process(
+            raw["video_raw"],
+            raw["wav"],
+            raw["vid_len"],
+            raw["mel_len"],
+            jax.random.PRNGKey(0),
+        )
+        assert batch.video.shape == (2, 20, 112, 112, 1)
+        assert batch.mel.shape == (2, 80, 80)
+        assert batch.spec.shape == (2, 321, 80)
+        mel_np = np.asarray(batch.mel)
+        assert np.isfinite(mel_np).all()
+        assert mel_np.min() >= -1.0 - 1e-5 and mel_np.max() <= 1.0 + 1e-5
+
+    def test_eval_mode_full_clips(self):
+        source = SyntheticLipSpeech(num_clips=2, video_frames=75)
+        ds = GridDataset(
+            source, AudioConfig(), DataConfig(max_v_timesteps=75), mode="val"
+        )
+        raw = next(ds.epoch(batch_size=2, shuffle=False))
+        assert raw["video_raw"].shape[1] == 75
+        assert (raw["vid_len"] == 75).all()

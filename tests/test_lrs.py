@@ -1,0 +1,116 @@
+"""LRS pipeline tests: crop tables, dynamic crops, spec chain, bucketing."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcagan.configs import AudioConfig, DataConfig
+from vcagan.data.lrs import (
+    LRSDataset,
+    SyntheticLRSSource,
+    crop_resize_dynamic,
+    lrs_denormalize_spec,
+    lrs_normalize_spec,
+    make_lrs_device_pipeline,
+)
+from vcagan.data.splits import load_crop_table
+
+
+class TestCropTable:
+    def test_parse_reference_format(self):
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "preprocess_main.txt")
+            with open(path, "w") as f:
+                f.write("6330311066473698535/00011.mp4 85/118/85/117/86/117\n")
+            table = load_crop_table(path, "main")
+            key = "main/6330311066473698535/00011"
+            assert key in table
+            assert table[key] == [85, 118, 85, 117, 86, 117]
+
+
+class TestDynamicCrop:
+    def test_crop_follows_center(self):
+        t, h, w = 4, 160, 160
+        frames = np.zeros((t, h, w, 3), np.uint8)
+        # bright 8x8 block at a moving center
+        centers = np.asarray([[40, 40], [80, 80], [120, 120], [40, 120]], np.int32)
+        for i, (cx, cy) in enumerate(centers):
+            frames[i, cy - 4 : cy + 4, cx - 4 : cx + 4] = 255
+        out = crop_resize_dynamic(
+            jnp.asarray(frames), jnp.asarray(centers), jnp.int32(0)
+        )
+        assert out.shape == (t, 112, 112, 1)
+        # the bright block should land at the crop center for every frame
+        out_np = np.asarray(out)
+        for i in range(t):
+            peak = np.unravel_index(np.argmax(out_np[i, :, :, 0]), (112, 112))
+            assert abs(peak[0] - 56) < 12 and abs(peak[1] - 56) < 12
+
+    def test_out_of_bounds_center_is_padded(self):
+        frames = jnp.asarray(
+            np.full((2, 100, 100, 3), 200, np.uint8)
+        )
+        centers = jnp.asarray([[2, 2], [98, 98]], jnp.int32)
+        out = crop_resize_dynamic(frames, centers, jnp.int32(0))
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestSpecChain:
+    def test_normalize_bounds(self):
+        spec = jnp.asarray(
+            np.abs(np.random.default_rng(0).standard_normal((2, 40, 321))), jnp.float32
+        )
+        norm = lrs_normalize_spec(spec)
+        assert float(norm.min()) >= -1.0 - 1e-5
+        assert float(norm.max()) <= 1.0 + 1e-5
+
+    def test_denormalize_range(self):
+        norm = jnp.asarray([[[-1.0, 0.0, 1.0]]])
+        out = np.asarray(lrs_denormalize_spec(norm))
+        # -1 -> 1e-5*14, +1 -> 14
+        np.testing.assert_allclose(out[0, 0, 0], 14e-5, rtol=1e-3)
+        np.testing.assert_allclose(out[0, 0, 2], 14.0, rtol=1e-3)
+
+
+class TestLRSDataset:
+    def test_train_windows(self):
+        ds = LRSDataset(
+            SyntheticLRSSource(num_clips=4, min_frames=60, max_frames=90),
+            AudioConfig(f_max=7600.0),
+            DataConfig(dataset="LRS2", window_size=50, max_v_timesteps=160),
+            mode="train",
+        )
+        raw = next(ds.epoch(2))
+        assert raw["video_raw"].shape[1] == 50
+        assert raw["centers"].shape == (2, 50, 2)
+
+    def test_eval_bucketing(self):
+        ds = LRSDataset(
+            SyntheticLRSSource(num_clips=4, min_frames=30, max_frames=70),
+            AudioConfig(f_max=7600.0),
+            DataConfig(dataset="LRS2", window_size=50, max_v_timesteps=160),
+            mode="val",
+        )
+        raw = next(ds.epoch(4, shuffle=False))
+        assert raw["video_raw"].shape[1] in LRSDataset.BUCKETS
+        assert (raw["vid_len"] <= raw["video_raw"].shape[1]).all()
+
+    def test_device_pipeline(self):
+        ds = LRSDataset(
+            SyntheticLRSSource(num_clips=2, min_frames=40, max_frames=60),
+            AudioConfig(f_max=7600.0),
+            DataConfig(dataset="LRS2", window_size=24, max_v_timesteps=160),
+            mode="train",
+        )
+        raw = next(ds.epoch(2))
+        process = make_lrs_device_pipeline(AudioConfig(f_max=7600.0), augment=True)
+        batch = process(
+            raw["video_raw"], raw["centers"], raw["wav"],
+            raw["vid_len"], raw["mel_len"], jax.random.PRNGKey(0),
+        )
+        assert batch.video.shape == (2, 24, 112, 112, 1)
+        assert batch.mel.shape == (2, 80, 96)
+        assert np.isfinite(np.asarray(batch.mel)).all()

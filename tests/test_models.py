@@ -136,13 +136,18 @@ class TestPostnet:
 
 
 class TestDiscriminators:
+    # window of 20 video frames: the discriminator's minimum (its 5x5 VALID
+    # head needs >= 5 time steps after downsampling)
+    TD = 20
+
     @pytest.mark.parametrize(
-        "phase,bins,frames", [("1", 20, T), ("2", 40, 2 * T), ("3", 80, 4 * T)]
+        "phase,bins,frames",
+        [("1", 20, TD), ("2", 40, 2 * TD), ("3", 80, 4 * TD)],
     )
     def test_scales(self, rngs, phase, bins, frames):
         dis = Discriminator(phase=phase)
         mel = jnp.zeros((B, bins, frames, 1))
-        sent = jnp.zeros((B, T, 512))
+        sent = jnp.zeros((B, self.TD, 512))
         variables = dis.init({"params": rngs["params"]}, mel, sent)
         u, c = dis.apply(variables, mel, sent)
         assert u.shape == (B, 1)

@@ -1,0 +1,63 @@
+"""STOI/ESTOI: JAX batched implementation vs the numpy oracle + sanity."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcagan.eval import estoi_np, stoi_batch, stoi_np
+
+
+def speechlike(n, seed, sr=16000):
+    """Modulated multi-harmonic signal with pauses (exercises the silent-
+    frame removal)."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    f0 = 120 + 40 * rng.random()
+    env = np.clip(np.sin(2 * np.pi * 2.5 * t) + 0.3, 0, None)
+    env[: n // 8] = 0.0  # leading silence
+    sig = sum(np.sin(2 * np.pi * f0 * k * t) / k for k in range(1, 6))
+    return (env * sig * 0.2).astype(np.float32)
+
+
+class TestOracleSanity:
+    def test_identity_is_one(self):
+        x = speechlike(32000, 0)
+        assert stoi_np(x, x) > 0.99
+        assert estoi_np(x, x) > 0.99
+
+    def test_noise_is_low(self):
+        x = speechlike(32000, 0)
+        noise = np.random.default_rng(1).standard_normal(len(x)).astype(np.float32)
+        assert stoi_np(x, noise) < 0.35
+        assert estoi_np(x, noise) < 0.25
+
+    def test_monotonic_in_snr(self):
+        x = speechlike(32000, 2)
+        rng = np.random.default_rng(3)
+        noise = rng.standard_normal(len(x)).astype(np.float32) * x.std()
+        scores = [stoi_np(x, x + g * noise) for g in (0.1, 0.5, 2.0)]
+        assert scores[0] > scores[1] > scores[2], scores
+
+
+class TestJaxParity:
+    @pytest.mark.parametrize("extended", [False, True])
+    def test_matches_oracle(self, extended):
+        xs = np.stack([speechlike(24000, s) for s in range(3)])
+        rng = np.random.default_rng(9)
+        ys = xs + 0.3 * rng.standard_normal(xs.shape).astype(np.float32) * xs.std()
+
+        got = np.asarray(
+            stoi_batch(jnp.asarray(xs), jnp.asarray(ys), extended=extended)
+        )
+        want = np.asarray(
+            [
+                (estoi_np if extended else stoi_np)(xs[i], ys[i], fs=16000)
+                for i in range(3)
+            ]
+        )
+        np.testing.assert_allclose(got, want, atol=0.02)
+
+    def test_batched_identity(self):
+        xs = np.stack([speechlike(16000, s) for s in range(2)])
+        got = np.asarray(stoi_batch(jnp.asarray(xs), jnp.asarray(xs)))
+        assert (got > 0.98).all()

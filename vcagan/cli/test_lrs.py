@@ -1,0 +1,143 @@
+"""LRS2/LRS3 inference CLI — argv-compatible with the reference test_LRS.py.
+
+Flip-TTA inference, LRS spec-chain inversion, per-sample Griffin-Lim on
+mel_len, STOI/ESTOI, artifact dump ./test/<dataset>/{mel,wav}/... +
+metric.txt (reference: test_LRS.py:60-188).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcagan.cli.train_lrs import build_config
+from vcagan.data.lrs import (
+    LRSClipSource,
+    LRSDataset,
+    SyntheticLRSSource,
+    lrs_denormalize_spec,
+    make_lrs_device_pipeline,
+)
+from vcagan.dsp import MelPipeline
+from vcagan.eval import stoi_batch
+from vcagan.io import CheckpointManager, write_wav
+from vcagan.train.models import VCAGANModules
+from vcagan.train.state import create_train_state
+from vcagan.train.step import make_eval_step
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", default="Data_dir")
+    p.add_argument("--data_name", type=str, default="LRS2")
+    p.add_argument("--checkpoint_dir", type=str, default="./data/checkpoints/LRS")
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--lr", type=float, default=0.0001)
+    p.add_argument("--weight_decay", type=float, default=0.00001)
+    p.add_argument("--workers", type=int, default=3)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--augmentations", default=False)
+    p.add_argument("--window_size", type=int, default=50)
+    p.add_argument("--max_timesteps", type=int, default=160)
+    p.add_argument("--temp", type=float, default=1.0)
+    p.add_argument("--f_min", type=float, default=55.0)
+    p.add_argument("--f_max", type=float, default=7600.0)
+    p.add_argument("--dataparallel", default=False, action="store_true")
+    p.add_argument("--gpu", type=str, default="0")
+    p.add_argument("--eval_step", type=int, default=0)
+    p.add_argument("--model_parallel", type=int, default=1)
+    # TPU-native extensions
+    p.add_argument("--out_dir", type=str, default="./test")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--max_batches", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    from vcagan.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+    args = parse_args(argv)
+    cfg = build_config(args)
+
+    modules = VCAGANModules.create(cfg.model)
+    state, _, _ = create_train_state(
+        jax.random.PRNGKey(args.seed), modules, cfg.train, 1
+    )
+    if args.checkpoint is not None:
+        ckpt = CheckpointManager(os.path.dirname(args.checkpoint) or ".")
+        state = ckpt.restore(state, args.checkpoint)
+
+    eval_fn = make_eval_step(modules, flip_tta=True)
+    process = make_lrs_device_pipeline(cfg.audio, augment=False)
+    pipe = MelPipeline(cfg.audio)
+
+    try:
+        source = LRSClipSource(cfg.data, "test")
+        if len(source) == 0:
+            raise FileNotFoundError
+    except (FileNotFoundError, OSError):
+        source = SyntheticLRSSource(num_clips=4)
+    ds = LRSDataset(source, cfg.audio, cfg.data, mode="test", seed=0)
+
+    rng = jax.random.PRNGKey(args.seed)
+    stois, estois = [], []
+    out_base = os.path.join(args.out_dir, args.data_name)
+    os.makedirs(out_base, exist_ok=True)
+
+    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False)):
+        if args.max_batches is not None and i >= args.max_batches:
+            break
+        rng, k_pipe, k_noise, k_gl = jax.random.split(rng, 4)
+        batch = process(
+            raw["video_raw"], raw["centers"], raw["wav"],
+            raw["vid_len"], raw["mel_len"], k_pipe,
+        )
+        g3, gs = eval_fn(
+            state.g_params, state.batch_stats, batch.video, batch.vid_len, k_noise
+        )
+        spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2))
+        wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
+        wav_gt = raw["wav"][:, : wav_pred.shape[1]]
+
+        stois.append(np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred))))
+        estois.append(
+            np.asarray(
+                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred), extended=True)
+            )
+        )
+
+        g3_np, gs_np = np.asarray(g3), np.asarray(gs)
+        for b in range(g3_np.shape[0]):
+            name = ds.source.name(i * args.batch_size + b)
+            rel = name.replace("/", "_")
+            mel_dir = os.path.join(out_base, "mel")
+            wav_dir = os.path.join(out_base, "wav")
+            os.makedirs(mel_dir, exist_ok=True)
+            os.makedirs(wav_dir, exist_ok=True)
+            n_mel = int(raw["mel_len"][b])
+            np.savez(
+                os.path.join(mel_dir, f"{rel}.npz"),
+                mel=g3_np[b : b + 1, :, :n_mel],
+                spec=gs_np[b : b + 1, :, :n_mel],
+            )
+            write_wav(os.path.join(wav_dir, f"{rel}.wav"), wav_pred[b])
+
+    stoi_m = float(np.nanmean(np.concatenate(stois))) if stois else 0.0
+    estoi_m = float(np.nanmean(np.concatenate(estois))) if estois else 0.0
+    print("STOI: ", stoi_m)
+    print("ESTOI: ", estoi_m)
+    with open(os.path.join(out_base, "metric.txt"), "w") as f:
+        f.write(f"STOI : {stoi_m}")
+        f.write(f"ESTOI : {estoi_m}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,328 @@
+"""LRS2 / LRS3 datasets: crop-coordinate-joined file lists, variable-length
+clips, dynamic per-frame lip crops, and the LRS spec-normalization chain.
+
+Capability parity with reference src/data/vid_aud_lrs2.py / vid_aud_lrs3.py:
+- file lists joined with per-frame lip-center tables
+  (vid_aud_lrs2.py:40-85; LRS3 uses 3 partition crop files and the SVTS
+  unseen splits, vid_aud_lrs3.py:27-85)
+- 80x80 crop around the stored lip center with +/-5 px train jitter,
+  resized to 112^2 (build_tensor, vid_aud_lrs2.py:87-120) — implemented
+  on-device as a vmapped dynamic_slice over padded frames
+- long clips truncated at max_v_timesteps (vid_aud_lrs2.py:163-169)
+- LRS spec chain: per-clip min-max -> log compression -> [-1, 1]
+  (vid_aud_lrs2.py:176-178), inverted with the x14 global scale
+  (denormalize_spec, vid_aud_lrs2.py:290-296)
+- variable-length batches padded with -1.0 (collate_fn,
+  vid_aud_lrs2.py:203-233) and bucketed to a few static shapes so XLA
+  never recompiles per batch
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcagan.configs import AudioConfig, DataConfig
+from vcagan.data.grid import decode_video, load_audio
+from vcagan.data.splits import load_crop_table
+from vcagan.data.transforms import PIXEL_MEAN, PIXEL_STD
+from vcagan.dsp import MelPipeline, dynamic_range_compression, mel_normalize
+from vcagan.train.step import Batch
+
+SPEC_DENORM_SCALE = 14.0  # reference vid_aud_lrs2.py:295
+
+
+def lrs_normalize_spec(spec: jax.Array) -> jax.Array:
+    """Per-clip min-max -> log -> [-1, 1] (reference vid_aud_lrs2.py:176-178).
+
+    spec: (B, T, 321) linear magnitudes; min/max per clip over all bins.
+    """
+    lo = jnp.min(spec, axis=(1, 2), keepdims=True)
+    hi = jnp.max(spec, axis=(1, 2), keepdims=True)
+    unit = (spec - lo) / jnp.maximum(hi - lo, 1e-8)
+    return mel_normalize(dynamic_range_compression(unit))
+
+
+def lrs_denormalize_spec(spec_norm: jax.Array) -> jax.Array:
+    """[-1,1] log-spec -> linear magnitudes scaled by 14
+    (reference inverse_spec chain, vid_aud_lrs2.py:257-272)."""
+    from vcagan.dsp import mel_denormalize
+
+    return jnp.exp(mel_denormalize(spec_norm)) * SPEC_DENORM_SCALE
+
+
+def crop_resize_dynamic(
+    frames: jax.Array,
+    centers: jax.Array,
+    jitter: jax.Array,
+    out_size: int = 112,
+    half: int = 40,
+) -> jax.Array:
+    """Per-frame 2*half-square crops around lip centers -> resize.
+
+    frames: (T, H, W, C) uint8/float; centers: (T, 2) int (x, y);
+    jitter: scalar int shift (the reference draws one shift per clip).
+    Out-of-bounds crops read zero padding (PIL crop semantics).
+    """
+    t, h, w, c = frames.shape
+    x = frames.astype(jnp.float32)
+    if frames.dtype == jnp.uint8:
+        x = x / 255.0
+    pad = half + 8  # covers +/-5 jitter and degenerate centers near edges
+    x = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    def one(frame, center):
+        cx = jnp.clip(center[0] + jitter, -8, w + 8)
+        cy = jnp.clip(center[1] + jitter, -8, h + 8)
+        y0 = cy - half + pad
+        x0 = cx - half + pad
+        return jax.lax.dynamic_slice(
+            frame, (y0, x0, 0), (2 * half, 2 * half, c)
+        )
+
+    crops = jax.vmap(one)(x, centers.astype(jnp.int32))  # (T, 80, 80, C)
+    crops = jax.image.resize(crops, (t, out_size, out_size, c), "bilinear")
+    if c == 3:
+        luma = jnp.asarray([0.299, 0.587, 0.114], crops.dtype)
+        crops = jnp.sum(crops * luma, axis=-1, keepdims=True)
+    return (crops - PIXEL_MEAN) / PIXEL_STD
+
+
+class LRSClipSource:
+    """LRS2/LRS3 clips with lip-center tables."""
+
+    def __init__(self, config: DataConfig, mode: str, splits_dir: str = "./data"):
+        self.config = config
+        self.mode = mode
+        self.dataset = config.dataset
+        self.crops: Dict[str, List[int]] = {}
+        self.files: List[str] = []
+        self._build(splits_dir)
+
+    def _build(self, splits_dir: str):
+        base = os.path.join(splits_dir, self.dataset)
+        if self.dataset == "LRS2":
+            crop_dir = os.path.join(base, "LRS2_crop")
+            partitions = ["main"] + (["pretrain"] if self.mode == "train" else [])
+            for part in partitions:
+                table_path = os.path.join(crop_dir, f"preprocess_{part}.txt")
+                if os.path.exists(table_path):
+                    self.crops.update(load_crop_table(table_path, part))
+            list_name = {"train": "train.txt", "val": "val.txt", "test": "test.txt"}[
+                self.mode
+            ]
+            names = []
+            list_path = os.path.join(base, list_name)
+            with open(list_path) as f:
+                for line in f:
+                    entry = line.strip().split()[0] if line.strip() else ""
+                    if entry:
+                        names.append(f"main/{entry}")
+            if self.mode == "train":
+                pre = os.path.join(base, "pretrain.txt")
+                if os.path.exists(pre):
+                    with open(pre) as f:
+                        names += [
+                            f"pretrain/{l.strip()}" for l in f if l.strip()
+                        ]
+            self.files = [n for n in names if n in self.crops]
+            self.audio_tree = "LRS2-BBC_audio"
+            self.video_tree = "LRS2-BBC"
+        else:  # LRS3
+            crop_dir = os.path.join(base, "LRS3_crop")
+            for part in ("pretrain", "trainval", "test"):
+                table_path = os.path.join(crop_dir, f"preprocess_{part}.txt")
+                if os.path.exists(table_path):
+                    self.crops.update(load_crop_table(table_path, part))
+            split_path = os.path.join(base, f"lrs3_unseen_{self.mode}.txt")
+            with open(split_path) as f:
+                names = [l.strip() for l in f if l.strip()]
+            self.files = [n for n in names if n in self.crops]
+            self.audio_tree = "LRS3-TED_audio"
+            self.video_tree = "LRS3-TED"
+
+    def __len__(self) -> int:
+        return len(self.files)
+
+    def clip(self, idx: int):
+        name = self.files[idx]
+        root = self.config.data_root
+        video = decode_video(os.path.join(root, name + ".mp4"))
+        audio = load_audio(
+            os.path.join(
+                root.replace(self.video_tree, self.audio_tree), name + ".wav"
+            )
+        )
+        coords = np.asarray(self.crops[name], np.int32).reshape(-1, 2)
+        return video, audio, coords
+
+    def name(self, idx: int) -> str:
+        return self.files[idx]
+
+
+class SyntheticLRSSource:
+    """Synthetic variable-length clips with lip-center tracks (tests)."""
+
+    def __init__(self, num_clips: int = 8, min_frames: int = 30, max_frames: int = 90):
+        from vcagan.data.synthetic import SyntheticLipSpeech
+
+        self._rng = np.random.default_rng(7)
+        self._lengths = self._rng.integers(min_frames, max_frames + 1, num_clips)
+        self._gen = SyntheticLipSpeech(num_clips=num_clips, video_frames=1)
+
+    def __len__(self):
+        return len(self._lengths)
+
+    def clip(self, idx: int):
+        from vcagan.data.synthetic import SyntheticLipSpeech
+
+        t = int(self._lengths[idx])
+        gen = SyntheticLipSpeech(num_clips=len(self._lengths), video_frames=t)
+        video, audio = gen.clip(idx)
+        # lip center track: mouth at (0.5 W, 0.68 H) with small wander
+        cx = (video.shape[2] * 0.5 + 3 * np.sin(np.arange(t) / 7)).astype(np.int32)
+        cy = np.full(t, int(video.shape[1] * 0.68), np.int32)
+        return video, audio, np.stack([cx, cy], axis=1)
+
+    def name(self, idx: int) -> str:
+        return f"synthetic/{idx:05d}"
+
+
+class LRSDataset:
+    """Variable-length batching with shape bucketing."""
+
+    BUCKETS = (40, 80, 120, 160)  # video-frame buckets for eval collation
+
+    def __init__(
+        self,
+        source,
+        audio_config: Optional[AudioConfig] = None,
+        data_config: Optional[DataConfig] = None,
+        mode: str = "train",
+        seed: int = 0,
+    ):
+        self.source = source
+        self.audio = audio_config or AudioConfig(f_max=7600.0)
+        self.data = data_config or DataConfig(
+            dataset="LRS2", window_size=50, max_v_timesteps=160
+        )
+        self.mode = mode
+        self.sample_window = mode == "train"
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.source)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.BUCKETS:
+            if n <= b and b <= self.data.max_v_timesteps:
+                return b
+        return self.data.max_v_timesteps
+
+    def epoch(self, batch_size: int, shuffle: bool = True) -> Iterator[dict]:
+        order = np.arange(len(self.source))
+        if shuffle:
+            self.rng.shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            yield self._collate(order[start : start + batch_size])
+
+    def _collate(self, idxs) -> dict:
+        mel_per = self.audio.mel_per_video_frame
+        hop = self.audio.hop_length
+        clips = [self.source.clip(int(i)) for i in idxs]
+
+        if self.sample_window:
+            w = self.data.window_size
+        else:
+            longest = min(
+                max(v.shape[0] for v, _, _ in clips), self.data.max_v_timesteps
+            )
+            w = self._bucket(longest)
+
+        videos, wavs, centers, vid_lens = [], [], [], []
+        for video, audio, coords in clips:
+            t = min(video.shape[0], coords.shape[0])
+            video, coords = video[:t], coords[:t]
+            if self.sample_window:
+                st = int(self.rng.integers(0, max(t - w, 0) + 1))
+            else:
+                st = 0
+            video = video[st : st + w]
+            coords = coords[st : st + w]
+            a0 = st * mel_per * hop
+            audio = audio[a0 : a0 + w * mel_per * hop]
+            n = video.shape[0]
+            vid_lens.append(n)
+            if n < w:
+                video = np.concatenate(
+                    [video, np.zeros((w - n,) + video.shape[1:], video.dtype)]
+                )
+                coords = np.concatenate(
+                    [coords, np.repeat(coords[-1:], w - n, axis=0)]
+                )
+            need = w * mel_per * hop
+            if audio.shape[0] < need:
+                audio = np.concatenate(
+                    [audio, np.zeros(need - audio.shape[0], np.float32)]
+                )
+            videos.append(video)
+            wavs.append(audio.astype(np.float32))
+            centers.append(coords)
+        return {
+            "video_raw": np.stack(videos),
+            "centers": np.stack(centers),
+            "wav": np.stack(wavs),
+            "vid_len": np.asarray(vid_lens, np.int32),
+            "mel_len": np.asarray([v * mel_per for v in vid_lens], np.int32),
+        }
+
+
+def make_lrs_device_pipeline(
+    audio_config: Optional[AudioConfig] = None,
+    augment: bool = False,
+):
+    """jitted raw-batch -> Batch for LRS (dynamic crops + LRS spec chain)."""
+    acfg = audio_config or AudioConfig(f_max=7600.0)
+    pipe = MelPipeline(acfg)
+
+    @jax.jit
+    def process(video_raw, centers, wav, vid_len, mel_len, key):
+        b, w = video_raw.shape[0], video_raw.shape[1]
+        keys = jax.random.split(key, b)
+
+        def one(frames, cts, k):
+            k_j, k_f = jax.random.split(k)
+            jitter = jax.random.randint(k_j, (), -5, 6) if augment else jnp.int32(0)
+            clip = crop_resize_dynamic(frames, cts, jitter)
+            if augment:
+                flip = jax.random.bernoulli(k_f, 0.5)
+                clip = jnp.where(flip, clip[:, :, ::-1, :], clip)
+            return clip
+
+        video = jax.vmap(one)(video_raw, centers, keys)
+
+        wav_c = pipe.condition_waveform(wav)
+        mel, spec = pipe.mel_spectrogram(wav_c)
+        n_mel = w * acfg.mel_per_video_frame
+        mel = mel_normalize(mel[:, :n_mel])
+        spec = lrs_normalize_spec(spec[:, :n_mel])
+
+        # mask padded mel region to the reference's -1.0 pad value
+        frame_idx = jnp.arange(n_mel)[None, :]
+        valid = frame_idx < mel_len[:, None]
+        mel = jnp.where(valid[:, :, None], mel, -1.0)
+        spec = jnp.where(valid[:, :, None], spec, -1.0)
+
+        return Batch(
+            video=video,
+            mel=jnp.swapaxes(mel, 1, 2),
+            spec=jnp.swapaxes(spec, 1, 2),
+            vid_len=vid_len,
+            mel_len=mel_len,
+        )
+
+    return process

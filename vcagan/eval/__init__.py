@@ -1,0 +1,4 @@
+from vcagan.eval.stoi import stoi_batch
+from vcagan.eval.stoi_np import estoi_np, stoi_np
+
+__all__ = ["estoi_np", "stoi_batch", "stoi_np"]

@@ -1,0 +1,185 @@
+"""Batched on-device STOI / ESTOI.
+
+JAX port of the algorithm in vcagan.eval.stoi_np: the whole metric — 16->10
+kHz polyphase resample, silent-frame removal (with frame compaction done as
+one gather), one-third-octave band decomposition, 30-frame segment
+correlations — runs as a single jitted program over the batch, replacing the
+reference's per-sample pystoi CPU loop (reference: train.py:392-404, a
+validation hot loop per SURVEY.md §3.2).
+
+Dynamic frame counts (silent-frame removal keeps a data-dependent number of
+frames) are handled with static shapes + masks: kept frames are compacted to
+the front via argsort, the overlap-add uses the full static length, and
+segment statistics are masked by the per-sample kept count.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcagan.eval import stoi_np as ref
+
+_EPS = 1e-14
+
+
+@functools.lru_cache(maxsize=1)
+def _resample_filter() -> np.ndarray:
+    """FIR low-pass for 16k -> 10k polyphase resampling (up 5, down 8),
+    matching scipy.resample_poly's kaiser(5.0) design."""
+    from scipy.signal import firwin
+
+    up, down = 5, 8
+    max_rate = max(up, down)
+    half_len = 10 * max_rate
+    cutoff = 1.0 / max_rate
+    taps = firwin(2 * half_len + 1, cutoff, window=("kaiser", 5.0))
+    return (taps * up).astype(np.float32)
+
+
+def _resample_16k_to_10k(x: jax.Array) -> jax.Array:
+    """(B, L) @16 kHz -> (B, ceil(L*5/8)) @10 kHz via dilated conv."""
+    up, down = 5, 8
+    taps = jnp.asarray(_resample_filter())
+    n_taps = taps.shape[0]
+    # scipy centers the filter: output[i] = sum h[k] x_up[i*down + k - half]
+    half = n_taps // 2
+    lhs = x[:, None, :]  # (B, C=1, L)
+    rhs = taps[None, None, ::-1]  # OIH, flipped for convolution
+    out = jax.lax.conv_general_dilated(
+        lhs,
+        rhs,
+        window_strides=(down,),
+        padding=[(half, half)],
+        lhs_dilation=(up,),
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )
+    n_out = int(np.ceil(x.shape[1] * up / down))
+    return out[:, 0, :n_out]
+
+
+def _frame(x: jax.Array, n: int = ref.N_FRAME) -> jax.Array:
+    hop = n // 2
+    m = 1 + (x.shape[-1] - n) // hop
+    idx = hop * np.arange(m)[:, None] + np.arange(n)[None, :]
+    return x[:, idx]  # (B, M, N)
+
+
+def _hann() -> np.ndarray:
+    n = np.arange(1, ref.N_FRAME + 1)
+    return (0.5 - 0.5 * np.cos(2 * np.pi * n / (ref.N_FRAME + 1))).astype(np.float32)
+
+
+def _overlap_add_50(frames: jax.Array) -> jax.Array:
+    """(B, M, N) 50%-overlap OLA -> (B, N/2*(M+1))."""
+    b, m, n = frames.shape
+    hop = n // 2
+    first, second = frames[:, :, :hop], frames[:, :, hop:]
+    total = jnp.zeros((b, m + 1, hop), frames.dtype)
+    total = total.at[:, :m].add(first)
+    total = total.at[:, 1:].add(second)
+    return total.reshape(b, -1)
+
+
+def _compact_silent_frames(xf, yf, win):
+    """Keep frames where clean energy is within 40 dB of the max; compact
+    kept frames to the front.  Returns (xk, yk, counts)."""
+    energy_db = 20.0 * jnp.log10(
+        jnp.linalg.norm(xf * win, axis=-1) + _EPS
+    )  # (B, M)
+    keep = energy_db > (
+        jnp.max(energy_db, axis=-1, keepdims=True) - ref.DYN_RANGE
+    )
+    counts = jnp.sum(keep, axis=-1)  # (B,)
+    # stable argsort of (not keep) moves kept frames to the front in order
+    order = jnp.argsort(~keep, axis=-1, stable=True)  # (B, M)
+    xk = jnp.take_along_axis(xf * win[None, None, :], order[:, :, None], axis=1)
+    yk = jnp.take_along_axis(yf * win[None, None, :], order[:, :, None], axis=1)
+    mask = jnp.arange(xf.shape[1])[None, :] < counts[:, None]
+    xk = xk * mask[:, :, None]
+    yk = yk * mask[:, :, None]
+    return xk, yk, counts
+
+
+def _band_envelopes(sig: jax.Array, win: jax.Array, obm: jax.Array) -> jax.Array:
+    frames = _frame(sig) * win
+    spec = jnp.fft.rfft(frames, ref.NFFT, axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
+    return jnp.sqrt(jnp.einsum("jf,bmf->bjm", obm, power) + 0.0)  # (B, 15, M)
+
+
+def _segments(x: jax.Array) -> jax.Array:
+    """(B, J, M) -> (B, M-29, J, 30) sliding segments."""
+    m = x.shape[-1]
+    n_seg = m - ref.N_SEG + 1
+    idx = np.arange(n_seg)[:, None] + np.arange(ref.N_SEG)[None, :]
+    return jnp.transpose(x[:, :, idx], (0, 2, 1, 3))
+
+
+@functools.partial(jax.jit, static_argnames=("extended", "input_rate"))
+def stoi_batch(
+    clean: jax.Array,
+    degraded: jax.Array,
+    extended: bool = False,
+    input_rate: int = 16_000,
+) -> jax.Array:
+    """Batched (E)STOI: (B, L), (B, L) waveforms -> (B,) scores."""
+    assert input_rate in (16_000, 10_000)
+    x = clean.astype(jnp.float32)
+    y = degraded.astype(jnp.float32)
+    if input_rate == 16_000:
+        x = _resample_16k_to_10k(x)
+        y = _resample_16k_to_10k(y)
+
+    win = jnp.asarray(_hann())
+    obm = jnp.asarray(ref._third_octave_matrix().astype(np.float32))
+
+    xf = _frame(x)
+    yf = _frame(y)
+    xk, yk, counts = _compact_silent_frames(xf, yf, win)
+    x_rec = _overlap_add_50(xk)
+    y_rec = _overlap_add_50(yk)
+
+    X = _band_envelopes(x_rec, win, obm)  # (B, 15, M)
+    Y = _band_envelopes(y_rec, win, obm)
+
+    Xs = _segments(X)  # (B, S, 15, 30)
+    Ys = _segments(Y)
+    n_seg_slots = Xs.shape[1]
+    # segment s uses frames [s, s+30); valid iff s+30 <= kept-frame count
+    valid = (
+        np.arange(n_seg_slots)[None, :] + ref.N_SEG
+        <= counts[:, None]
+    )  # (B, S)
+
+    if extended:
+        def rownorm(a, axis):
+            a = a - jnp.mean(a, axis=axis, keepdims=True)
+            return a / (jnp.linalg.norm(a, axis=axis, keepdims=True) + _EPS)
+
+        Xn = rownorm(rownorm(Xs, -1), -2)
+        Yn = rownorm(rownorm(Ys, -1), -2)
+        d_seg = jnp.sum(Xn * Yn, axis=(-1, -2)) / ref.N_SEG  # (B, S)
+        score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
+            jnp.sum(valid, axis=1), 1
+        )
+    else:
+        c = 10.0 ** (-ref.BETA / 20.0)
+        alpha = jnp.sqrt(
+            jnp.sum(Xs**2, axis=-1, keepdims=True)
+            / (jnp.sum(Ys**2, axis=-1, keepdims=True) + _EPS)
+        )
+        Yc = jnp.minimum(alpha * Ys, Xs * (1 + c))
+        xm = Xs - jnp.mean(Xs, axis=-1, keepdims=True)
+        ym = Yc - jnp.mean(Yc, axis=-1, keepdims=True)
+        corr = jnp.sum(xm * ym, axis=-1) / (
+            jnp.linalg.norm(xm, axis=-1) * jnp.linalg.norm(ym, axis=-1) + _EPS
+        )  # (B, S, 15)
+        d_seg = jnp.mean(corr, axis=-1)  # (B, S)
+        score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
+            jnp.sum(valid, axis=1), 1
+        )
+    return score

@@ -82,6 +82,12 @@ class Discriminator(nn.Module):
     ) -> Tuple[jax.Array, jax.Array]:
         # mel: (B, F, T, 1); sent: (B, T_v, 512)
         repeat = {"1": 2, "2": 3, "3": 4}[self.phase]
+        if mel.shape[2] // (2 ** repeat) < 5:
+            raise ValueError(
+                f"Discriminator phase {self.phase}: time dim {mel.shape[2]} "
+                f"downsamples below the 5x5 VALID head (needs >= {5 * 2 ** repeat} "
+                "mel frames, i.e. video window >= 20 frames)"
+            )
 
         x = nn.Conv(
             self.base_channels, (5, 5), padding=2, dtype=self.dtype, name="conv_in"

@@ -1,0 +1,220 @@
+"""End-to-end training/validation orchestration.
+
+The runtime equivalent of the reference drivers' epoch loops
+(reference: train.py:124-328, train_LRS.py:140-320): host loader feeds the
+on-device input pipeline, the jitted GAN step advances state, validation
+vocodes with Griffin-Lim and scores STOI/ESTOI on-device, checkpoints keep
+the metric-named + Best_* convention.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vcagan.configs import VCAGANConfig
+from vcagan.data.device_pipeline import make_device_pipeline
+from vcagan.data.grid import make_grid_dataset
+from vcagan.dsp import MelPipeline
+from vcagan.eval import stoi_batch
+from vcagan.io import CheckpointManager, MetricWriter
+from vcagan.parallel import make_mesh, shard_batch, shard_state
+from vcagan.train.models import VCAGANModules
+from vcagan.train.state import create_train_state
+from vcagan.train.step import make_eval_step, make_train_step
+from vcagan.train.state import make_optimizer
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: VCAGANConfig,
+        log_dir: str = "./runs",
+        use_mesh: bool = True,
+        synthetic_fallback: bool = True,
+    ):
+        self.config = config
+        self.modules = VCAGANModules.create(config.model)
+        self.pipeline = MelPipeline(config.audio)
+        self.writer = MetricWriter(log_dir)
+        self.ckpt = CheckpointManager(config.train.checkpoint_dir)
+        self.synthetic_fallback = synthetic_fallback
+        self.is_lrs = config.data.dataset in ("LRS2", "LRS3")
+
+        self.train_ds = self._make_dataset("train", seed=config.train.seed)
+        self.steps_per_epoch = max(
+            len(self.train_ds) // config.train.batch_size, 1
+        )
+
+        tc = config.train
+        self.g_tx = make_optimizer(
+            tc.lr, tc.weight_decay, tc.amsgrad, tc.lr_milestones, tc.lr_gamma,
+            self.steps_per_epoch,
+        )
+        self.d_tx = make_optimizer(
+            tc.lr, tc.weight_decay, tc.amsgrad, tc.lr_milestones, tc.lr_gamma,
+            self.steps_per_epoch,
+        )
+        self.state, _, _ = create_train_state(
+            jax.random.PRNGKey(tc.seed), self.modules, tc, self.steps_per_epoch
+        )
+
+        self.mesh = None
+        if use_mesh:
+            # data-axis size must divide the batch: use the largest
+            # compatible device subset (DataParallel semantics never
+            # constrained the reference's batch either).
+            import math
+
+            mp = config.mesh.model_parallel
+            avail = len(jax.devices())
+            data_n = math.gcd(config.train.batch_size, max(avail // mp, 1))
+            self.mesh = make_mesh(
+                model_parallel=mp, devices=jax.devices()[: data_n * mp]
+            )
+            self.state = shard_state(self.state, self.mesh)
+
+        if self.is_lrs:
+            from vcagan.data.lrs import make_lrs_device_pipeline
+
+            lrs_train = make_lrs_device_pipeline(
+                config.audio, augment=config.data.augmentations
+            )
+            lrs_eval = make_lrs_device_pipeline(config.audio, augment=False)
+            self.process_train = lambda raw, key: lrs_train(
+                raw["video_raw"], raw["centers"], raw["wav"],
+                raw["vid_len"], raw["mel_len"], key,
+            )
+            self.process_eval = lambda raw, key: lrs_eval(
+                raw["video_raw"], raw["centers"], raw["wav"],
+                raw["vid_len"], raw["mel_len"], key,
+            )
+        else:
+            grid_train = make_device_pipeline(
+                config.audio, config.data, augment=config.data.augmentations
+            )
+            grid_eval = make_device_pipeline(
+                config.audio, config.data, augment=False
+            )
+            self.process_train = lambda raw, key: grid_train(
+                raw["video_raw"], raw["wav"], raw["vid_len"], raw["mel_len"], key
+            )
+            self.process_eval = lambda raw, key: grid_eval(
+                raw["video_raw"], raw["wav"], raw["vid_len"], raw["mel_len"], key
+            )
+        self.train_step = make_train_step(
+            self.modules, self.g_tx, self.d_tx, tc, donate=True
+        )
+        self.eval_step = make_eval_step(self.modules)
+        self.rng = jax.random.PRNGKey(tc.seed)
+
+    # --------------------------------------------------------------- datasets
+
+    def _make_dataset(self, mode: str, seed: int = 0):
+        cfg = self.config
+        if self.is_lrs:
+            from vcagan.data.lrs import LRSClipSource, LRSDataset, SyntheticLRSSource
+
+            source = None
+            try:
+                source = LRSClipSource(cfg.data, mode)
+                if len(source) == 0:
+                    source = None
+            except (FileNotFoundError, OSError):
+                source = None
+            if source is None:
+                if not self.synthetic_fallback:
+                    raise FileNotFoundError(
+                        f"{cfg.data.dataset} corpus/splits not found"
+                    )
+                source = SyntheticLRSSource(num_clips=8)
+            return LRSDataset(source, cfg.audio, cfg.data, mode, seed)
+        return make_grid_dataset(
+            cfg.data, cfg.audio, mode,
+            synthetic_fallback=self.synthetic_fallback, seed=seed,
+        )
+
+    # ------------------------------------------------------------------ train
+
+    def fit(
+        self,
+        epochs: Optional[int] = None,
+        start_epoch: int = 0,
+        max_steps: Optional[int] = None,
+        log_every: int = 1,
+    ):
+        tc = self.config.train
+        epochs = epochs if epochs is not None else tc.epochs
+        step = int(self.state.step)
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            for raw in self.train_ds.epoch(tc.batch_size):
+                self.rng, k_pipe, k_step = jax.random.split(self.rng, 3)
+                batch = self.process_train(raw, k_pipe)
+                if self.mesh is not None:
+                    batch = shard_batch(batch, self.mesh)
+                self.state, metrics = self.train_step(self.state, batch, k_step)
+                step += 1
+                if step % log_every == 0:
+                    host = {k: float(v) for k, v in metrics.items()}
+                    self.writer.scalars({f"train/{k}": v for k, v in host.items()}, step)
+                if tc.eval_step and step % tc.eval_step == 0:
+                    logs = self.validate(fast=True)
+                    self.ckpt.save(self.state, epoch, *logs[1:])
+                if max_steps is not None and step >= max_steps:
+                    return step
+            self.writer.scalars(
+                {"train/epoch_seconds": time.time() - t0}, step
+            )
+        return step
+
+    # --------------------------------------------------------------- validate
+
+    def validate(self, fast: bool = False, max_batches: Optional[int] = None):
+        """Returns (recon_l1, stoi, estoi, pesq placeholder 0).
+
+        Mirrors reference validate (train.py:331-468): forward, Griffin-Lim
+        both paths, STOI/ESTOI on the postnet path; fast mode = 5 batches.
+        """
+        cfg = self.config
+        val_ds = self._make_dataset("val", seed=0)
+        limit = 5 if fast else (max_batches or len(val_ds))
+        bs = max(cfg.train.batch_size, 1)
+
+        losses, stois, estois = [], [], []
+        for i, raw in enumerate(val_ds.epoch(bs, shuffle=fast)):
+            if i >= limit:
+                break
+            self.rng, k_pipe, k_noise, k_gl = jax.random.split(self.rng, 4)
+            batch = self.process_eval(raw, k_pipe)
+            g3, gs = self.eval_step(
+                self.state.g_params,
+                self.state.batch_stats,
+                batch.video,
+                batch.vid_len,
+                k_noise,
+            )
+            losses.append(float(jnp.mean(jnp.abs(g3 - batch.mel))))
+            if self.is_lrs:
+                from vcagan.data.lrs import lrs_denormalize_spec
+
+                spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2))
+            else:
+                spec = jnp.maximum(jnp.swapaxes(gs, 1, 2), 0.0)
+            wav_pred = self.pipeline.inverse_spec(spec, k_gl)
+            wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
+            stois.append(np.asarray(stoi_batch(wav_gt, wav_pred)))
+            estois.append(np.asarray(stoi_batch(wav_gt, wav_pred, extended=True)))
+
+        if not losses:
+            return 0.0, 0.0, 0.0, 0.0
+        return (
+            float(np.mean(losses)),
+            float(np.nanmean(np.concatenate(stois))),
+            float(np.nanmean(np.concatenate(estois))),
+            0.0,  # PESQ: host-side lib absent; see vcagan.eval docs
+        )

@@ -1,0 +1,321 @@
+"""The adversarial train step and inference/eval step, as single jitted
+programs.
+
+Reproduces the reference GRID/LRS step semantics (train.py:155-237,
+train_LRS.py:168-248) with the gradient topology made explicit:
+
+- D phase: real/fake logits at 3 mel scales + sync InfoNCE + R1 gradient
+  penalty (second-order AD, the ``create_graph=True`` of train.py:188-194).
+  ``value_and_grad`` over (d_params, g_params) captures BOTH the D update
+  and the v_front gradients that the reference deliberately leaks through
+  the live ``phon`` in the sync term and accumulates into the G update
+  (the ``retain_graph=True`` comment at train.py:210).
+- D optimizer update.
+- G phase with the UPDATED D params (matching torch's execution order):
+  adversarial + gen-mode sync + L1 reconstruction at 3 scales + postnet L1.
+  The leaked v_front sync grads are added before the G update.
+
+Both phases re-trace the identical v_front/gen forward with identical RNG
+keys, so XLA CSE merges them — the "two backwards through one graph"
+structure costs one forward, as in torch.
+
+All losses are computed in float32 regardless of module compute dtype.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vcagan.configs import TrainConfig
+from vcagan.dsp.audio import mel_denormalize
+from vcagan.nn.losses import gan_loss, r1_penalty
+from vcagan.train.models import VCAGANModules
+from vcagan.train.state import GANTrainState
+
+
+class Batch(NamedTuple):
+    """One training batch (all padded to static shapes).
+
+    video:   (B, W, 112, 112, 1) normalized grayscale frames
+    mel:     (B, 80, 4W) normalized log-mel in [-1, 1]
+    spec:    (B, 321, 4W) linear magnitudes (GRID) / normalized (LRS)
+    vid_len: (B,) true video frame counts
+    mel_len: (B,) true mel frame counts
+    """
+
+    video: jax.Array
+    mel: jax.Array
+    spec: jax.Array
+    vid_len: jax.Array
+    mel_len: jax.Array
+
+
+def _mel_pyramid(mel: jax.Array):
+    """(B, 80, T) -> quarter/half-scale bilinear pyramids
+    (reference: train.py:170-171, torch bilinear align_corners=False)."""
+    b, f, t = mel.shape
+    mel1 = jax.image.resize(mel, (b, f // 4, t // 4), method="bilinear")
+    mel2 = jax.image.resize(mel, (b, f // 2, t // 2), method="bilinear")
+    return mel1, mel2
+
+
+def _img(mel: jax.Array) -> jax.Array:
+    """(B, F, T) -> (B, F, T, 1) channels-last image."""
+    return mel[..., None]
+
+
+def _l1(a: jax.Array, b: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32)))
+
+
+def make_train_step(
+    modules: VCAGANModules,
+    g_tx: optax.GradientTransformation,
+    d_tx: optax.GradientTransformation,
+    config: TrainConfig | None = None,
+    donate: bool = True,
+):
+    """Build the jitted GAN train step.
+
+    Returns ``step_fn(state, batch, rng) -> (state, metrics)``.
+    """
+    cfg = config or TrainConfig()
+
+    def forward_gen_side(g_params, batch_stats, batch: Batch, rngs):
+        """v_front + generator forward (train mode) with stats updates."""
+        (phon, sent), vf_upd = modules.v_front.apply(
+            {"params": g_params["v_front"], "batch_stats": batch_stats["v_front"]},
+            batch.video,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rngs["dropout"]},
+        )
+        (g1, g2, g3), gen_upd = modules.gen.apply(
+            {"params": g_params["gen"], "batch_stats": batch_stats["gen"]},
+            sent,
+            phon,
+            batch.vid_len,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"noise": rngs["noise"]},
+        )
+        new_stats = {
+            "v_front": vf_upd["batch_stats"],
+            "gen": gen_upd["batch_stats"],
+        }
+        return phon, sent, (g1, g2, g3), new_stats
+
+    def disc_logits(d_params, name, mel_img, sent_sg):
+        module = getattr(modules, name)
+        return module.apply({"params": d_params[name]}, mel_img, sent_sg)
+
+    def d_loss_fn(d_params, g_params, batch_stats, batch: Batch, rngs):
+        phon, sent, (g1, g2, g3), _ = forward_gen_side(
+            g_params, batch_stats, batch, rngs
+        )
+        sent_sg = jax.lax.stop_gradient(sent)
+        mel1, mel2 = _mel_pyramid(batch.mel)
+        mel3 = batch.mel
+
+        real_terms = []
+        r1_terms = []
+        for name, mel_k in (("dis1", mel1), ("dis2", mel2), ("dis3", mel3)):
+            u, c = disc_logits(d_params, name, _img(mel_k), sent_sg)
+            real_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
+            r1_terms.append(
+                r1_penalty(
+                    lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0],
+                    mel_k,
+                )
+            )
+
+        fake_terms = []
+        for name, g_k in (("dis1", g1), ("dis2", g2), ("dis3", g3)):
+            u, c = disc_logits(
+                d_params, name, _img(jax.lax.stop_gradient(g_k)), sent_sg
+            )
+            fake_terms.append(gan_loss(u, real=False) + gan_loss(c, real=False))
+
+        # Sync critic on REAL mel with LIVE phon: this is the only dis-phase
+        # path into v_front (reference train.py:186,210).
+        sync_vec, s_dis_upd = modules.s_dis.apply(
+            {"params": d_params["s_dis"], "batch_stats": batch_stats["s_dis"]},
+            phon,
+            _img(mel3),
+            gen=False,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        sync_loss = jnp.mean(sync_vec)
+
+        real_loss = sum(real_terms) / 3.0 + sum(r1_terms) / 3.0
+        fake_loss = sum(fake_terms) / 3.0
+        dis_loss = real_loss + fake_loss + cfg.sync_dis_weight * sync_loss
+        aux = {
+            "d_sync_loss": sync_loss,
+            "s_dis_stats": s_dis_upd["batch_stats"],
+            "r1": sum(r1_terms) / 3.0,
+        }
+        return dis_loss, aux
+
+    def g_loss_fn(g_params, d_params, batch_stats, batch: Batch, rngs):
+        phon, sent, (g1, g2, g3), gen_side_stats = forward_gen_side(
+            g_params, batch_stats, batch, rngs
+        )
+        sent_sg = jax.lax.stop_gradient(sent)
+        mel1, mel2 = _mel_pyramid(batch.mel)
+        mel3 = batch.mel
+
+        gs, post_upd = modules.post.apply(
+            {"params": g_params["post"], "batch_stats": batch_stats["post"]},
+            g3,
+            train=True,
+            mutable=["batch_stats"],
+        )
+
+        adv_terms = []
+        for name, g_k in (("dis1", g1), ("dis2", g2), ("dis3", g3)):
+            u, c = disc_logits(d_params, name, _img(g_k), sent_sg)
+            adv_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
+
+        g_sync_vec, _ = modules.s_dis.apply(
+            {"params": d_params["s_dis"], "batch_stats": batch_stats["s_dis"]},
+            jax.lax.stop_gradient(phon),
+            _img(g3),
+            gen=True,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        g_sync_loss = jnp.mean(g_sync_vec)
+
+        g_loss = sum(adv_terms) / 3.0 + g_sync_loss
+
+        if cfg.recon_on_denormalized:
+            # GRID: L1 on denormalized log-mels (reference train.py:226-228)
+            recon = (
+                _l1(mel_denormalize(g1), mel_denormalize(mel1))
+                + _l1(mel_denormalize(g2), mel_denormalize(mel2))
+                + _l1(mel_denormalize(g3), mel_denormalize(mel3))
+            ) / 3.0
+        else:
+            # LRS: L1 on normalized mels (reference train_LRS.py:233-235)
+            recon = (_l1(g1, mel1) + _l1(g2, mel2) + _l1(g3, mel3)) / 3.0
+        recon = recon + _l1(gs, batch.spec)
+
+        gen_loss = g_loss + cfg.recon_weight * recon
+        aux = {
+            "g_loss": g_loss,
+            "recon_loss": recon,
+            "g_sync_loss": g_sync_loss,
+            "gen_side_stats": gen_side_stats,
+            "post_stats": post_upd["batch_stats"],
+        }
+        return gen_loss, aux
+
+    def train_step(state: GANTrainState, batch: Batch, rng: jax.Array):
+        k_dropout, k_noise = jax.random.split(jax.random.fold_in(rng, state.step))
+        rngs = {"dropout": k_dropout, "noise": k_noise}
+
+        # ---- D phase (grads wrt d_params AND the v_front sync leak) ----
+        (dis_loss, d_aux), (d_grads, vf_sync_grads) = jax.value_and_grad(
+            d_loss_fn, argnums=(0, 1), has_aux=True
+        )(state.d_params, state.g_params, state.batch_stats, batch, rngs)
+
+        d_updates, d_opt_state = d_tx.update(
+            d_grads, state.d_opt_state, state.d_params
+        )
+        d_params = optax.apply_updates(state.d_params, d_updates)
+
+        # ---- G phase with the updated D (torch ordering) ----
+        (gen_loss, g_aux), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.g_params, d_params, state.batch_stats, batch, rngs)
+
+        # Accumulate the leaked sync grads into the G update
+        # (reference train.py:210 "accumulate v_front grad").
+        g_grads = jax.tree.map(jnp.add, g_grads, vf_sync_grads)
+
+        g_updates, g_opt_state = g_tx.update(
+            g_grads, state.g_opt_state, state.g_params
+        )
+        g_params = optax.apply_updates(state.g_params, g_updates)
+
+        batch_stats = dict(state.batch_stats)
+        batch_stats.update(g_aux["gen_side_stats"])
+        batch_stats["post"] = g_aux["post_stats"]
+        batch_stats["s_dis"] = d_aux["s_dis_stats"]
+        # discriminators are norm-free (reference ResBlk normalize=False);
+        # keep their (empty) entries as-is.
+
+        new_state = GANTrainState(
+            step=state.step + 1,
+            g_params=g_params,
+            d_params=d_params,
+            batch_stats=batch_stats,
+            g_opt_state=g_opt_state,
+            d_opt_state=d_opt_state,
+        )
+        metrics = {
+            "dis_loss": dis_loss,
+            "gen_loss": gen_loss,
+            "g_loss": g_aux["g_loss"],
+            "recon_loss": g_aux["recon_loss"],
+            "g_sync_loss": g_aux["g_sync_loss"],
+            "d_sync_loss": d_aux["d_sync_loss"],
+            "r1": d_aux["r1"],
+        }
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(modules: VCAGANModules, flip_tta: bool = False):
+    """Inference forward: video -> (g3 mel, postnet linear spec).
+
+    With ``flip_tta`` the horizontal-flip test-time augmentation of the
+    reference test driver is applied: g3 is the mean over the original and
+    width-flipped clip (reference test.py:131-140).
+    """
+
+    def eval_step(
+        g_params: Dict[str, Any],
+        batch_stats: Dict[str, Any],
+        video: jax.Array,
+        vid_len: jax.Array,
+        noise_rng: jax.Array,
+    ):
+        def forward(vid, key):
+            phon, sent = modules.v_front.apply(
+                {"params": g_params["v_front"], "batch_stats": batch_stats["v_front"]},
+                vid,
+                train=False,
+            )
+            g1, g2, g3 = modules.gen.apply(
+                {"params": g_params["gen"], "batch_stats": batch_stats["gen"]},
+                sent,
+                phon,
+                vid_len,
+                train=False,
+                rngs={"noise": key},
+            )
+            return g3
+
+        g3 = forward(video, noise_rng)
+        if flip_tta:
+            g3_flip = forward(video[:, :, :, ::-1, :], jax.random.fold_in(noise_rng, 1))
+            g3 = (g3 + g3_flip) / 2.0
+
+        gs = modules.post.apply(
+            {"params": g_params["post"], "batch_stats": batch_stats["post"]},
+            g3,
+            train=False,
+        )
+        return g3, gs
+
+    return jax.jit(eval_step)
