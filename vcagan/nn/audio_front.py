@@ -29,6 +29,9 @@ class AudioFront(nn.Module):
     ch2: int = 256
     out_dim: int = 512
     kernel: int = 3
+    # reference audio fronts use a plain-ReLU BasicBlock (audio_front.py:21)
+    # except the GRID ASR variant, which passes relu_type='prelu'
+    res_relu_type: str = "relu"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -56,6 +59,8 @@ class AudioFront(nn.Module):
         )(x)
         x = batch_norm(train, "bn2")(x)
         x = PReLU(self.ch2, name="act2")(x)
-        x = BasicBlock(self.ch2, dtype=self.dtype, name="res")(x, train)
+        x = BasicBlock(
+            self.ch2, relu_type=self.res_relu_type, dtype=self.dtype, name="res"
+        )(x, train)
         b, s, f, c = x.shape
         return nn.Dense(self.out_dim, name="proj")(x.reshape(b, s, f * c))

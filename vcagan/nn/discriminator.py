@@ -165,7 +165,9 @@ class SyncDiscriminator(nn.Module):
         )(x)
         x = batch_norm(train, "bn2")(x)
         x = PReLU(256, name="act2")(x)  # (B, S, 20, 256)
-        x = BasicBlock(256, dtype=self.dtype, name="res")(x, train)
+        # plain-ReLU BasicBlock (reference generator.py:332-334 uses the
+        # relu_type='relu' default here, unlike the visual ResNet)
+        x = BasicBlock(256, relu_type="relu", dtype=self.dtype, name="res")(x, train)
 
         b, s, f, c = x.shape
         a_feat = nn.Dense(512, name="proj")(x.reshape(b, s, f * c))  # (B, S, 512)

@@ -137,17 +137,25 @@ class Decoder(nn.Module):
         phon: jax.Array,
         lengths: jax.Array,
         train: bool = True,
+        noise: jax.Array | None = None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         # sent: (B, T, 512), phon: (B, S, 512), lengths: (B,)
-        b, t, c = sent.shape
+        #
+        # NOTE the role split (reference generator.py:245-256, called as
+        # gen(sent, phon) at train.py:174): the per-frame PHON features are
+        # tiled over the 20 coarse freq bins as the synthesis input, while
+        # the SENT context feeds the cross-attention keys/values.
+        b, t, c = phon.shape
         f = self.base_bins
 
-        # Tile sentence context over the 20 coarse freq bins and concat
-        # Gaussian noise (reference generator.py:248-250).
-        x = jnp.broadcast_to(sent[:, None, :, :], (b, f, t, c))
-        noise = jax.random.normal(
-            self.make_rng("noise"), (b, f, t, self.noise_dim), self.dtype
-        )
+        # Tile phoneme features over the 20 coarse freq bins and concat
+        # Gaussian noise (reference generator.py:248-250).  ``noise`` may be
+        # injected explicitly (parity tests, deterministic inference).
+        x = jnp.broadcast_to(phon[:, None, :, :], (b, f, t, c))
+        if noise is None:
+            noise = jax.random.normal(
+                self.make_rng("noise"), (b, f, t, self.noise_dim), self.dtype
+            )
         x = jnp.concatenate([x, noise.astype(x.dtype)], axis=-1)
 
         # Bottleneck: 640 -> 512 -> 256 -> 256 at (20, T).
@@ -164,7 +172,7 @@ class Decoder(nn.Module):
             self.attention_inner,
             use_pallas=self.use_pallas_attention,
             name="att1",
-        )(phon, g1, lengths)  # (B, 20, T, 64)
+        )(sent, g1, lengths)  # (B, 20, T, 64)
         x = nn.Conv(128, (5, 5), padding=2, dtype=self.dtype, name="attconv1")(
             jnp.concatenate([x, c1], axis=-1)
         )
@@ -180,7 +188,7 @@ class Decoder(nn.Module):
             self.attention_inner,
             use_pallas=self.use_pallas_attention,
             name="att2",
-        )(phon, g2, lengths)  # (B, 40, 2T, 32)
+        )(sent, g2, lengths)  # (B, 40, 2T, 32)
         x = nn.Conv(64, (5, 5), padding=2, dtype=self.dtype, name="attconv2")(
             jnp.concatenate([x, c2], axis=-1)
         )
