@@ -1,0 +1,88 @@
+"""Preprocessing CLI tests: alignment math, audio filtering, frame extraction."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vcagan.cli.preprocess_grid import (
+    align_clip,
+    highpass_audio,
+    umeyama_similarity,
+)
+
+
+class TestUmeyama:
+    def test_recovers_known_similarity(self):
+        rng = np.random.default_rng(0)
+        src = rng.standard_normal((98, 2)) * 50 + 100
+        theta = 0.3
+        scale = 1.7
+        rot = scale * np.asarray(
+            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+        )
+        t = np.asarray([12.0, -5.0])
+        dst = src @ rot.T + t
+        m = umeyama_similarity(src, dst)
+        np.testing.assert_allclose(m[:, :2], rot, rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(m[:, 2], t, rtol=1e-5, atol=1e-5)
+
+    def test_handles_reflection_guard(self):
+        rng = np.random.default_rng(3)
+        src = rng.standard_normal((50, 2))
+        reflect = np.asarray([[1.0, 0.0], [0.0, -1.0]])
+        dst = src @ reflect.T * 2.0 + [3.0, 4.0]
+        m = umeyama_similarity(src, dst)
+        # result must be a proper rotation (det > 0), not a reflection
+        assert np.linalg.det(m[:, :2]) > 0
+
+
+class TestHighpass:
+    def test_removes_dc_keeps_speechband(self):
+        sr = 16000
+        t = np.arange(sr) / sr
+        low = np.sin(2 * np.pi * 10 * t)  # below 55 Hz cutoff
+        mid = np.sin(2 * np.pi * 500 * t)
+        out = highpass_audio((low + mid).astype(np.float32), sr)
+        # 10 Hz energy crushed, 500 Hz preserved
+        spec = np.abs(np.fft.rfft(out))
+        freqs = np.fft.rfftfreq(len(out), 1 / sr)
+        e10 = spec[np.argmin(np.abs(freqs - 10))]
+        e500 = spec[np.argmin(np.abs(freqs - 500))]
+        assert e500 / max(e10, 1e-9) > 100
+
+
+class TestAlignClip:
+    def test_alignment_centers_landmarks(self):
+        cv2 = pytest.importorskip("cv2")
+        rng = np.random.default_rng(1)
+        ref = rng.standard_normal((98, 2)) * 40 + 128  # template around center
+        frames = rng.integers(0, 255, (3, 288, 360, 3), np.uint8)
+        # per-frame landmarks: template shifted+scaled differently per frame
+        lms = np.stack([ref * (1.1 + 0.05 * i) + [20 * i, -10 * i] for i in range(3)])
+        out = align_clip(frames, lms, ref, out_size=256)
+        assert out.shape == (3, 256, 256, 3)
+
+
+class TestExtractFrames:
+    def test_extract_from_synthetic_video(self, tmp_path):
+        cv2 = pytest.importorskip("cv2")
+        from vcagan.cli.extract_frames import extract_one
+
+        # write a small mpg-style video via cv2 (mp4 container)
+        sub = tmp_path / "s1"
+        sub.mkdir()
+        vid_path = str(sub / "clip.avi")
+        writer = cv2.VideoWriter(
+            vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 25, (64, 64)
+        )
+        rng = np.random.default_rng(0)
+        for _ in range(10):
+            writer.write(rng.integers(0, 255, (64, 64, 3), np.uint8))
+        writer.release()
+
+        msg = extract_one(vid_path, str(tmp_path), min_frames=75)
+        assert "done" in msg
+        import glob
+
+        assert len(glob.glob(str(sub / "clip" / "*.png"))) == 10

@@ -37,7 +37,49 @@ class MetricWriter:
             for k, v in tag_values.items():
                 self._tb.add_scalar(k, float(v), step)
 
+    def spectrogram(self, tag: str, mel, step: int) -> None:
+        """Log a (F, T) spectrogram as an image (reference logs matplotlib
+        renders of g1/g2/g3/gt each 100 steps, train.py:255-274)."""
+        if self._tb is None:
+            return
+        self._tb.add_image(tag, plot_spectrogram_to_numpy(mel), step)
+
+    def audio(self, tag: str, wav, step: int, sample_rate: int = 16_000) -> None:
+        if self._tb is None:
+            return
+        import numpy as np
+
+        self._tb.add_audio(
+            tag, np.asarray(wav, dtype=np.float32)[None, :], step,
+            sample_rate=sample_rate,
+        )
+
     def close(self) -> None:
         self._file.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def plot_spectrogram_to_numpy(mel) -> "np.ndarray":
+    """(F, T) array -> (3, H, W) uint8 RGB render
+    (reference vid_aud_grid.py:250-268)."""
+    import numpy as np
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    mel = np.asarray(mel)
+    if mel.ndim == 3:
+        mel = mel.reshape(mel.shape[-2], mel.shape[-1])
+    fig, ax = plt.subplots(figsize=(15, 4))
+    im = ax.imshow(mel, aspect="auto", origin="lower", interpolation="none")
+    plt.colorbar(im, ax=ax)
+    plt.xlabel("Frames")
+    plt.ylabel("Channels")
+    plt.tight_layout()
+    fig.canvas.draw()
+    data = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+    plt.close(fig)
+    return data.transpose(2, 0, 1)

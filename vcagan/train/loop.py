@@ -146,27 +146,49 @@ class Trainer:
         start_epoch: int = 0,
         max_steps: Optional[int] = None,
         log_every: int = 1,
+        profile_steps: Optional[tuple] = None,
+        profile_dir: str = "./runs/profile",
     ):
+        """Train.  ``eval_step > 0`` validates/checkpoints every N steps
+        (GRID recipe, reference train.py:280); ``eval_step == 0`` validates
+        per epoch (LRS recipe, reference train_LRS.py:275-311).
+
+        ``profile_steps=(start, stop)`` captures a jax.profiler trace of
+        those global steps into ``profile_dir``.
+        """
         tc = self.config.train
         epochs = epochs if epochs is not None else tc.epochs
         step = int(self.state.step)
+        step_t0 = time.time()
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             for raw in self.train_ds.epoch(tc.batch_size):
+                if profile_steps and step == profile_steps[0]:
+                    jax.profiler.start_trace(profile_dir)
                 self.rng, k_pipe, k_step = jax.random.split(self.rng, 3)
                 batch = self.process_train(raw, k_pipe)
                 if self.mesh is not None:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch, k_step)
                 step += 1
+                if profile_steps and step == profile_steps[1]:
+                    jax.tree.map(
+                        lambda x: x.block_until_ready(), metrics
+                    )
+                    jax.profiler.stop_trace()
                 if step % log_every == 0:
                     host = {k: float(v) for k, v in metrics.items()}
+                    host["step_seconds"] = time.time() - step_t0
+                    step_t0 = time.time()
                     self.writer.scalars({f"train/{k}": v for k, v in host.items()}, step)
                 if tc.eval_step and step % tc.eval_step == 0:
                     logs = self.validate(fast=True)
                     self.ckpt.save(self.state, epoch, *logs[1:])
                 if max_steps is not None and step >= max_steps:
                     return step
+            if not tc.eval_step:  # per-epoch validation (LRS recipe)
+                logs = self.validate(fast=True)
+                self.ckpt.save(self.state, epoch, *logs[1:])
             self.writer.scalars(
                 {"train/epoch_seconds": time.time() - t0}, step
             )
@@ -209,6 +231,14 @@ class Trainer:
             wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
             stois.append(np.asarray(stoi_batch(wav_gt, wav_pred)))
             estois.append(np.asarray(stoi_batch(wav_gt, wav_pred, extended=True)))
+
+            if i == 0:  # media for the first batch (reference train.py:406-448)
+                step = int(self.state.step)
+                self.writer.spectrogram("val_mel/g3", np.asarray(g3[0]), step)
+                self.writer.spectrogram("val_mel/gt", np.asarray(batch.mel[0]), step)
+                self.writer.spectrogram("val_spec/gen", np.asarray(gs[0]), step)
+                self.writer.audio("val_aud/pred", np.asarray(wav_pred[0]), step)
+                self.writer.audio("val_aud/gt", np.asarray(wav_gt[0]), step)
 
         if not losses:
             return 0.0, 0.0, 0.0, 0.0
