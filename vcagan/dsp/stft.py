@@ -65,12 +65,25 @@ def frame_count(num_samples: int, params: STFTParams) -> int:
 
 
 def _frame(y: jax.Array, params: STFTParams) -> jax.Array:
-    """(B, L) -> (B, T, n_fft) centered frames (reflect padding)."""
+    """(B, L) -> (B, T, n_fft) centered frames (reflect padding).
+
+    When n_fft % hop == 0 (the 640/160 production config) framing is pure
+    reshape + R shifted slices + concat — no gather op at all, the exact
+    inverse of the overlap-add trick below.  Inside Griffin-Lim this runs
+    60x per call, so avoiding the gather matters.
+    """
     n_fft, hop = params.n_fft, params.hop_length
     pad = n_fft // 2
     y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (y.shape[1] - n_fft) // hop
-    # Strided gather: one gather op, good TPU layout (minor dim = n_fft).
+
+    if n_fft % hop == 0:
+        r_factor = n_fft // hop
+        usable = hop * (n_frames - 1) + n_fft
+        rows = y[:, : hop * (usable // hop)].reshape(y.shape[0], -1, hop)
+        chunks = [rows[:, r : r + n_frames, :] for r in range(r_factor)]
+        return jnp.concatenate(chunks, axis=-1)
+
     starts = np.arange(n_frames) * hop
     idx = starts[:, None] + np.arange(n_fft)[None, :]
     return y[:, idx]
@@ -139,12 +152,25 @@ def istft(
     """
     # Build the complex spectrum from real parts — complex exp is not
     # universally supported on the TPU backend.
-    z = jax.lax.complex(magnitude * jnp.cos(phase), magnitude * jnp.sin(phase))
-    frames = jnp.fft.irfft(z, n=params.n_fft, axis=-1).astype(magnitude.dtype)
-    frames = frames * window(params, magnitude.dtype)
+    return istft_complex(
+        magnitude * jnp.cos(phase), magnitude * jnp.sin(phase), params, trim_center
+    )
+
+
+def istft_complex(
+    real: jax.Array,
+    imag: jax.Array,
+    params: STFTParams,
+    trim_center: bool = True,
+) -> jax.Array:
+    """ISTFT from explicit real/imag spectra (transcendental-free path used
+    by Griffin-Lim, which carries unit phasors instead of angles)."""
+    z = jax.lax.complex(real, imag)
+    frames = jnp.fft.irfft(z, n=params.n_fft, axis=-1).astype(real.dtype)
+    frames = frames * window(params, real.dtype)
     y = _overlap_add(frames, params)
 
-    wss = _window_sumsquare(int(magnitude.shape[1]), params)
+    wss = _window_sumsquare(int(real.shape[1]), params)
     tiny = np.finfo(np.float32).tiny
     correction = np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0)
     y = y * jnp.asarray(correction, dtype=y.dtype)

@@ -37,6 +37,7 @@ class _GRUDirection(nn.Module):
 
     hidden: int
     reverse: bool = False
+    unroll: int = 8  # scan unrolling: fewer sequential dispatch points
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -69,7 +70,9 @@ class _GRUDirection(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((batch, h), x.dtype)
-        _, ys = jax.lax.scan(step, h0, x_proj, reverse=self.reverse)
+        _, ys = jax.lax.scan(
+            step, h0, x_proj, reverse=self.reverse, unroll=self.unroll
+        )
         return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
 
 
@@ -80,6 +83,7 @@ class BiGRU(nn.Module):
     hidden: int = 512
     num_layers: int = 2
     dropout: float = 0.3
+    unroll: int = 8
 
     @nn.compact
     def __call__(
@@ -87,8 +91,14 @@ class BiGRU(nn.Module):
     ) -> jax.Array:
         # x: (B, T, C) -> (B, T, 2H)
         for layer in range(self.num_layers):
-            fwd = _GRUDirection(self.hidden, reverse=False, name=f"l{layer}_fwd")(x)
-            bwd = _GRUDirection(self.hidden, reverse=True, name=f"l{layer}_bwd")(x)
+            fwd = _GRUDirection(
+                self.hidden, reverse=False, unroll=self.unroll,
+                name=f"l{layer}_fwd",
+            )(x)
+            bwd = _GRUDirection(
+                self.hidden, reverse=True, unroll=self.unroll,
+                name=f"l{layer}_bwd",
+            )(x)
             x = jnp.concatenate([fwd, bwd], axis=-1)
             if train and self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout, deterministic=False)(x)
