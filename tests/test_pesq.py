@@ -1,0 +1,58 @@
+"""PESQ-NB estimate: identity, monotonicity, range, alignment robustness."""
+
+import numpy as np
+import pytest
+
+from vcagan.eval.pesq_nb import pesq_batch, pesq_nb
+
+
+def speech(n=24000, sr=8000, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / sr
+    f0 = 110 + 30 * rng.random()
+    env = np.clip(np.sin(2 * np.pi * 2.0 * t) + 0.4, 0, None)
+    sig = sum(np.sin(2 * np.pi * f0 * k * t + rng.random()) / k for k in range(1, 8))
+    return (env * sig * 0.1).astype(np.float64)
+
+
+class TestPesq:
+    def test_identity_near_max(self):
+        x = speech()
+        score = pesq_nb(x, x)
+        assert score > 4.3, score
+
+    def test_monotonic_in_snr(self):
+        x = speech(seed=1)
+        rng = np.random.default_rng(2)
+        noise = rng.standard_normal(len(x)) * np.std(x)
+        scores = [pesq_nb(x, x + g * noise) for g in (0.05, 0.3, 1.5)]
+        assert scores[0] > scores[1] > scores[2], scores
+
+    def test_heavy_noise_low(self):
+        x = speech(seed=3)
+        noise = np.random.default_rng(4).standard_normal(len(x)) * np.std(x) * 5
+        assert pesq_nb(x, noise) < 2.4
+
+    def test_range(self):
+        x = speech(seed=5)
+        garbage = np.sign(x) * 0.5
+        s = pesq_nb(x, garbage)
+        assert 1.0 <= s <= 4.64
+
+    def test_alignment_recovers_delay(self):
+        x = speech(seed=6)
+        delayed = np.concatenate([np.zeros(400), x])[: len(x)]
+        aligned_score = pesq_nb(x, delayed, align=True)
+        raw_score = pesq_nb(x, delayed, align=False)
+        assert aligned_score >= raw_score - 1e-9
+        assert aligned_score > 4.0, aligned_score
+
+    def test_batch_handles_short_clip(self):
+        x = speech(seed=7)
+        out = pesq_batch([x, x[:100]], [x, x[:100]], fs=8000)
+        assert out[0] > 4.0
+        assert np.isnan(out[1])
+
+    def test_16k_input(self):
+        x = speech(n=48000, sr=16000, seed=8)
+        assert pesq_nb(x, x, fs=16000) > 4.3

@@ -1,0 +1,83 @@
+"""Prefetch iterator + multi-host helpers."""
+
+import time
+
+import numpy as np
+import pytest
+
+from vcagan.data.prefetch import ParallelEpoch, prefetch_iterator
+from vcagan.parallel.multihost import (
+    initialize_distributed,
+    local_batch_slice,
+)
+
+
+class TestPrefetch:
+    def test_yields_all_items_in_order(self):
+        items = list(range(20))
+        assert list(prefetch_iterator(iter(items), depth=3)) == items
+
+    def test_propagates_errors(self):
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = prefetch_iterator(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+
+    def test_overlaps_production(self):
+        """Producer works ahead while the consumer is slow."""
+        produced = []
+
+        def gen():
+            for i in range(4):
+                produced.append(i)
+                yield i
+
+        it = prefetch_iterator(gen(), depth=2)
+        first = next(it)
+        time.sleep(0.2)  # give the producer time to fill the queue
+        assert first == 0
+        assert len(produced) >= 3  # ran ahead of the consumer
+
+    def test_parallel_epoch_over_dataset(self):
+        from vcagan.configs import AudioConfig, DataConfig
+        from vcagan.data import SyntheticLipSpeech
+        from vcagan.data.grid import GridDataset
+
+        ds = GridDataset(
+            SyntheticLipSpeech(num_clips=4, video_frames=30),
+            AudioConfig(),
+            DataConfig(window_size=20),
+            mode="train",
+        )
+        batches = list(ParallelEpoch(ds, batch_size=2))
+        assert len(batches) == 2
+        assert batches[0]["video_raw"].shape[0] == 2
+
+
+class TestMultihost:
+    def test_single_process_noop(self):
+        assert initialize_distributed() is False
+
+    def test_local_batch_slice_single(self):
+        s = local_batch_slice(16)
+        assert (s.start, s.stop) == (0, 16)
+
+    def test_indivisible_raises(self):
+        import jax
+
+        if jax.process_count() == 1:
+            # divisibility check still applies with n=1 only for mod != 0,
+            # which cannot happen; exercise the error path via monkeypatch
+            import vcagan.parallel.multihost as mh
+
+            orig = jax.process_count
+            try:
+                jax.process_count = lambda: 3
+                with pytest.raises(ValueError):
+                    mh.local_batch_slice(16)
+            finally:
+                jax.process_count = orig

@@ -20,6 +20,7 @@ from vcagan.data.device_pipeline import make_device_pipeline
 from vcagan.data.grid import make_grid_dataset
 from vcagan.dsp import MelPipeline
 from vcagan.eval import stoi_batch
+from vcagan.eval.pesq_nb import pesq_batch
 from vcagan.io import CheckpointManager, write_wav
 from vcagan.train.models import VCAGANModules
 from vcagan.train.state import create_train_state
@@ -86,7 +87,7 @@ def main(argv=None):
     )
     rng = jax.random.PRNGKey(args.seed)
 
-    stois, estois = [], []
+    stois, estois, pesqs = [], [], []
     os.makedirs(args.out_dir, exist_ok=True)
     for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False)):
         if args.max_batches is not None and i >= args.max_batches:
@@ -108,6 +109,7 @@ def main(argv=None):
                 stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred), extended=True)
             )
         )
+        pesqs.append(np.asarray(pesq_batch(np.asarray(wav_gt), wav_pred, fs=16_000)))
 
         g3_np, gs_np = np.asarray(g3), np.asarray(gs)
         for b in range(g3_np.shape[0]):
@@ -133,11 +135,14 @@ def main(argv=None):
 
     stoi_m = float(np.nanmean(np.concatenate(stois))) if stois else 0.0
     estoi_m = float(np.nanmean(np.concatenate(estois))) if estois else 0.0
+    pesq_m = float(np.nanmean(np.concatenate(pesqs))) if pesqs else 0.0
     print("STOI: ", stoi_m)
     print("ESTOI: ", estoi_m)
+    print("PESQ: ", pesq_m)
     with open(os.path.join(args.out_dir, "metric.txt"), "w") as f:
         f.write(f"STOI : {stoi_m}")
         f.write(f"ESTOI : {estoi_m}")
+        f.write(f"PESQ : {pesq_m}")
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ from vcagan.data.lrs import (
 )
 from vcagan.dsp import MelPipeline
 from vcagan.eval import stoi_batch
+from vcagan.eval.pesq_nb import pesq_batch
 from vcagan.io import CheckpointManager, write_wav
 from vcagan.train.models import VCAGANModules
 from vcagan.train.state import create_train_state
@@ -88,7 +89,7 @@ def main(argv=None):
     ds = LRSDataset(source, cfg.audio, cfg.data, mode="test", seed=0)
 
     rng = jax.random.PRNGKey(args.seed)
-    stois, estois = [], []
+    stois, estois, pesqs = [], [], []
     out_base = os.path.join(args.out_dir, args.data_name)
     os.makedirs(out_base, exist_ok=True)
 
@@ -113,6 +114,7 @@ def main(argv=None):
                 stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred), extended=True)
             )
         )
+        pesqs.append(np.asarray(pesq_batch(np.asarray(wav_gt), wav_pred, fs=16_000)))
 
         g3_np, gs_np = np.asarray(g3), np.asarray(gs)
         for b in range(g3_np.shape[0]):
@@ -132,11 +134,14 @@ def main(argv=None):
 
     stoi_m = float(np.nanmean(np.concatenate(stois))) if stois else 0.0
     estoi_m = float(np.nanmean(np.concatenate(estois))) if estois else 0.0
+    pesq_m = float(np.nanmean(np.concatenate(pesqs))) if pesqs else 0.0
     print("STOI: ", stoi_m)
     print("ESTOI: ", estoi_m)
+    print("PESQ: ", pesq_m)
     with open(os.path.join(out_base, "metric.txt"), "w") as f:
         f.write(f"STOI : {stoi_m}")
         f.write(f"ESTOI : {estoi_m}")
+        f.write(f"PESQ : {pesq_m}")
 
 
 if __name__ == "__main__":

@@ -160,9 +160,11 @@ class Trainer:
         epochs = epochs if epochs is not None else tc.epochs
         step = int(self.state.step)
         step_t0 = time.time()
+        from vcagan.data.prefetch import ParallelEpoch
+
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
-            for raw in self.train_ds.epoch(tc.batch_size):
+            for raw in ParallelEpoch(self.train_ds, tc.batch_size, depth=2):
                 if profile_steps and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 self.rng, k_pipe, k_step = jax.random.split(self.rng, 3)
@@ -207,7 +209,9 @@ class Trainer:
         limit = 5 if fast else (max_batches or len(val_ds))
         bs = max(cfg.train.batch_size, 1)
 
-        losses, stois, estois = [], [], []
+        from vcagan.eval.pesq_nb import pesq_batch
+
+        losses, stois, estois, pesqs = [], [], [], []
         for i, raw in enumerate(val_ds.epoch(bs, shuffle=fast)):
             if i >= limit:
                 break
@@ -231,6 +235,11 @@ class Trainer:
             wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
             stois.append(np.asarray(stoi_batch(wav_gt, wav_pred)))
             estois.append(np.asarray(stoi_batch(wav_gt, wav_pred, extended=True)))
+            pesqs.append(
+                np.asarray(
+                    pesq_batch(np.asarray(wav_gt), np.asarray(wav_pred), fs=16_000)
+                )
+            )
 
             if i == 0:  # media for the first batch (reference train.py:406-448)
                 step = int(self.state.step)
@@ -242,9 +251,11 @@ class Trainer:
 
         if not losses:
             return 0.0, 0.0, 0.0, 0.0
+        pesq_all = np.concatenate(pesqs)
+        pesq_mean = float(np.nanmean(pesq_all)) if np.isfinite(pesq_all).any() else 0.0
         return (
             float(np.mean(losses)),
             float(np.nanmean(np.concatenate(stois))),
             float(np.nanmean(np.concatenate(estois))),
-            0.0,  # PESQ: host-side lib absent; see vcagan.eval docs
+            pesq_mean,
         )
