@@ -1,0 +1,73 @@
+"""Mixed-precision (bf16) forward sanity + LRS-config train step smoke."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vcagan.configs import ModelConfig, TrainConfig
+from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
+from vcagan.train.state import make_optimizer
+
+B, W, HW = 2, 20, 48
+
+
+def tiny_batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return Batch(
+        video=jnp.asarray(rng.standard_normal((B, W, HW, HW, 1)), jnp.float32),
+        mel=jnp.asarray(np.clip(rng.standard_normal((B, 80, 4 * W)), -1, 1), jnp.float32),
+        spec=jnp.asarray(np.abs(rng.standard_normal((B, 321, 4 * W))), jnp.float32),
+        vid_len=jnp.full((B,), W, jnp.int32),
+        mel_len=jnp.full((B,), 4 * W, jnp.int32),
+    )
+
+
+class TestBf16:
+    def test_bf16_forward_close_to_fp32(self):
+        video = jnp.asarray(
+            np.random.default_rng(0).standard_normal((B, W, HW, HW, 1)), jnp.float32
+        )
+        outs = {}
+        for bf16 in (False, True):
+            modules = VCAGANModules.create(ModelConfig(use_bfloat16=bf16))
+            params, stats = modules.init_all(jax.random.PRNGKey(0), 2, W, HW)
+            phon, sent = modules.v_front.apply(
+                {"params": params["v_front"], "batch_stats": stats["v_front"]},
+                video,
+                train=False,
+            )
+            outs[bf16] = np.asarray(phon, np.float32)
+        # bf16 matmuls: expect coarse but correlated agreement
+        a, b = outs[False].ravel(), outs[True].ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.99, corr
+
+    def test_params_stay_fp32_under_bf16_compute(self):
+        modules = VCAGANModules.create(ModelConfig(use_bfloat16=True))
+        params, _ = modules.init_all(jax.random.PRNGKey(0), 2, W, HW)
+        leaves = jax.tree.leaves(params)
+        assert all(l.dtype == jnp.float32 for l in leaves)
+
+
+class TestLRSTrainConfig:
+    def test_one_step_with_lrs_losses(self):
+        """LRS deltas: sync D weight 0.5, recon on normalized mels, plain
+        Adam (reference train_LRS.py:97-98,218,233-237)."""
+        modules = VCAGANModules.create()
+        cfg = TrainConfig(
+            amsgrad=False,
+            sync_dis_weight=0.5,
+            recon_on_denormalized=False,
+            lr_milestones=(100, 150),
+        )
+        g_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
+                              cfg.lr_milestones, cfg.lr_gamma, 10)
+        d_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
+                              cfg.lr_milestones, cfg.lr_gamma, 10)
+        state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 10)
+        step = make_train_step(modules, g_tx, d_tx, cfg, donate=False)
+        s1, metrics = step(state, tiny_batch(), jax.random.PRNGKey(5))
+        for k, v in metrics.items():
+            assert np.isfinite(float(v)), (k, v)
+        assert int(s1.step) == 1
