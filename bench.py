@@ -28,6 +28,9 @@ MEL_FRAMES = 4 * FRAMES
 
 
 def build():
+    from vcagan.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from vcagan.configs import AudioConfig
     from vcagan.dsp import MelPipeline
     from vcagan.train import VCAGANModules
@@ -85,15 +88,17 @@ def main():
         out = fn(g_params, g_stats, video, vid_len, key)
         _ = float(jnp.sum(jnp.abs(out)))
 
-    times = []
-    for i in range(5):
-        t0 = time.perf_counter()
+    # Serving throughput: N batches in flight, one sync at the end, so the
+    # host<->device round-trip amortizes like a real inference queue.
+    n_inflight = 8
+    t0 = time.perf_counter()
+    sums = []
+    for i in range(n_inflight):
         out = fn(g_params, g_stats, video, vid_len, jax.random.PRNGKey(i))
-        _ = float(jnp.sum(jnp.abs(out)))
-        times.append(time.perf_counter() - t0)
-
-    best = min(times)
-    mel_fps = BATCH * MEL_FRAMES / best
+        sums.append(jnp.sum(jnp.abs(out)))  # stays on device
+    _ = [float(s) for s in sums]  # single sync point
+    elapsed = time.perf_counter() - t0
+    mel_fps = n_inflight * BATCH * MEL_FRAMES / elapsed
     print(
         json.dumps(
             {
