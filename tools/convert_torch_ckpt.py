@@ -138,16 +138,20 @@ def res_blk(sd: Dict, p: str, one_d: bool = False):
 
 
 def gru(sd: Dict, p: str, layers: int):
-    """torch nn.GRU -> vcagan.nn.gru.BiGRU tree."""
+    """torch nn.GRU -> vcagan.nn.gru.BiGRU tree (fused-direction layers)."""
     params = {}
     for layer in range(layers):
+        layer_params = {}
         for suffix, ours in (("", "fwd"), ("_reverse", "bwd")):
-            params[f"l{layer}_{ours}"] = {
-                "w_i": linear_kernel(sd[f"{p}.weight_ih_l{layer}{suffix}"]),
-                "w_h": linear_kernel(sd[f"{p}.weight_hh_l{layer}{suffix}"]),
-                "b_i": _t(sd[f"{p}.bias_ih_l{layer}{suffix}"]),
-                "b_h": _t(sd[f"{p}.bias_hh_l{layer}{suffix}"]),
-            }
+            layer_params[f"{ours}_w_i"] = linear_kernel(
+                sd[f"{p}.weight_ih_l{layer}{suffix}"]
+            )
+            layer_params[f"{ours}_w_h"] = linear_kernel(
+                sd[f"{p}.weight_hh_l{layer}{suffix}"]
+            )
+            layer_params[f"{ours}_b_i"] = _t(sd[f"{p}.bias_ih_l{layer}{suffix}"])
+            layer_params[f"{ours}_b_h"] = _t(sd[f"{p}.bias_hh_l{layer}{suffix}"])
+        params[f"l{layer}"] = layer_params
     return params
 
 

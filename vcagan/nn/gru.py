@@ -7,13 +7,14 @@ the MXU busy:
 
 - the input projection for ALL timesteps is hoisted out of the scan into a
   single (B*T, C) x (C, 3H) matmul;
-- the ``lax.scan`` body does just one (B, H) x (H, 3H) matmul plus fused
-  gate arithmetic;
-- the backward direction reuses the same scan with ``reverse=True`` —
-  no data flipping.
+- BOTH directions of a layer run in ONE scan: the backward direction's
+  inputs are time-reversed and stacked on a direction axis, so each scan
+  step does a single (2, B, H) x (2, H, 3H) batched matmul instead of two
+  sequential passes — half the sequential depth of a naive bi-RNN;
+- the scan is partially unrolled to amortize loop overhead.
 
-Gate math follows the torch convention so reference checkpoints can be
-converted weight-for-weight:
+Gate math follows the torch convention so reference checkpoints convert
+weight-for-weight:
     r = sigmoid(x W_ir + b_ir + h W_hr + b_hr)
     z = sigmoid(x W_iz + b_iz + h W_hz + b_hz)
     n = tanh(x W_in + b_in + r * (h W_hn + b_hn))
@@ -27,22 +28,16 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _uniform_init(hidden: int):
-    bound = 1.0 / jnp.sqrt(hidden)
-    return nn.initializers.uniform(scale=2 * bound)  # then shifted below
-
-
-class _GRUDirection(nn.Module):
-    """One direction of one GRU layer."""
+class _BiGRULayer(nn.Module):
+    """One bidirectional layer; both directions share a single scan."""
 
     hidden: int
-    reverse: bool = False
-    unroll: int = 8  # scan unrolling: fewer sequential dispatch points
+    unroll: int = 8
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        # x: (B, T, C) -> (B, T, H)
-        batch, _, in_dim = x.shape
+        # x: (B, T, C) -> (B, T, 2H)
+        batch, t, in_dim = x.shape
         h = self.hidden
         k = 1.0 / jnp.sqrt(h)
         init = nn.initializers.uniform(scale=2.0)
@@ -50,17 +45,30 @@ class _GRUDirection(nn.Module):
         def u(key, shape):  # U(-k, k), torch's default GRU init
             return (init(key, shape) - 1.0) * k
 
-        w_i = self.param("w_i", u, (in_dim, 3 * h))
-        w_h = self.param("w_h", u, (h, 3 * h))
-        b_i = self.param("b_i", u, (3 * h,))
-        b_h = self.param("b_h", u, (3 * h,))
+        # Parameter names keep the per-direction layout
+        # (l{i}_fwd/l{i}_bwd) used by the torch-checkpoint converter.
+        p = {}
+        for d in ("fwd", "bwd"):
+            p[d] = {
+                "w_i": self.param(f"{d}_w_i", u, (in_dim, 3 * h)),
+                "w_h": self.param(f"{d}_w_h", u, (h, 3 * h)),
+                "b_i": self.param(f"{d}_b_i", u, (3 * h,)),
+                "b_h": self.param(f"{d}_b_h", u, (3 * h,)),
+            }
 
-        # Hoisted input projection: one big MXU matmul for every timestep.
-        x_proj = x @ w_i + b_i  # (B, T, 3H)
-        x_proj = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 3H) scan over leading axis
+        w_h = jnp.stack([p["fwd"]["w_h"], p["bwd"]["w_h"]])  # (2, H, 3H)
+        b_h = jnp.stack([p["fwd"]["b_h"], p["bwd"]["b_h"]])  # (2, 3H)
+
+        # Hoisted input projections, bwd direction time-reversed so both
+        # directions advance together in one scan.
+        xf = x @ p["fwd"]["w_i"] + p["fwd"]["b_i"]  # (B, T, 3H)
+        xb = x[:, ::-1] @ p["bwd"]["w_i"] + p["bwd"]["b_i"]
+        xs = jnp.stack([xf, xb], axis=0)  # (2, B, T, 3H)
+        xs = jnp.moveaxis(xs, 2, 0)  # (T, 2, B, 3H)
 
         def step(h_prev, xp):
-            hp = h_prev @ w_h + b_h  # (B, 3H)
+            # h_prev: (2, B, H); xp: (2, B, 3H)
+            hp = jnp.einsum("dbh,dhk->dbk", h_prev, w_h) + b_h[:, None, :]
             xr, xz, xn = jnp.split(xp, 3, axis=-1)
             hr, hz, hn = jnp.split(hp, 3, axis=-1)
             r = jax.nn.sigmoid(xr + hr)
@@ -69,11 +77,12 @@ class _GRUDirection(nn.Module):
             h_new = (1.0 - z) * n + z * h_prev
             return h_new, h_new
 
-        h0 = jnp.zeros((batch, h), x.dtype)
-        _, ys = jax.lax.scan(
-            step, h0, x_proj, reverse=self.reverse, unroll=self.unroll
-        )
-        return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+        h0 = jnp.zeros((2, batch, h), x.dtype)
+        _, ys = jax.lax.scan(step, h0, xs, unroll=self.unroll)
+        # ys: (T, 2, B, H) -> fwd (B, T, H) + bwd re-reversed
+        fwd = jnp.moveaxis(ys[:, 0], 0, 1)
+        bwd = jnp.moveaxis(ys[:, 1], 0, 1)[:, ::-1]
+        return jnp.concatenate([fwd, bwd], axis=-1)
 
 
 class BiGRU(nn.Module):
@@ -86,20 +95,12 @@ class BiGRU(nn.Module):
     unroll: int = 8
 
     @nn.compact
-    def __call__(
-        self, x: jax.Array, train: bool = True
-    ) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         # x: (B, T, C) -> (B, T, 2H)
         for layer in range(self.num_layers):
-            fwd = _GRUDirection(
-                self.hidden, reverse=False, unroll=self.unroll,
-                name=f"l{layer}_fwd",
+            x = _BiGRULayer(
+                self.hidden, unroll=self.unroll, name=f"l{layer}"
             )(x)
-            bwd = _GRUDirection(
-                self.hidden, reverse=True, unroll=self.unroll,
-                name=f"l{layer}_bwd",
-            )(x)
-            x = jnp.concatenate([fwd, bwd], axis=-1)
             if train and self.dropout > 0 and layer < self.num_layers - 1:
                 x = nn.Dropout(self.dropout, deterministic=False)(x)
         return x
