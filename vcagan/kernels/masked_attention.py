@@ -121,13 +121,62 @@ def _attention_pallas(
     )(lengths, q, k, v)
 
 
+# ---- GSPMD partitioning: the kernel is embarrassingly parallel over the
+# batch, so under a sharded jit each device runs it on its local batch
+# shard instead of XLA replicating an unpartitionable custom call.
+def make_spmd_kernel(impl):
+    """Wrap a per-shard attention impl in custom_partitioning: the op is
+    embarrassingly parallel over batch, so each device runs ``impl`` on its
+    local shard; Shardy propagates the batch factor via the einsum rule."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def _batch_axis(sharding):
+        spec = sharding.spec
+        return spec[0] if len(spec) else None
+
+    wrapped = custom_partitioning(lambda q, k, v, lengths: impl(q, k, v, lengths))
+
+    def _infer_sharding(mesh, arg_infos, result_info):
+        return NamedSharding(mesh, P(_batch_axis(arg_infos[0].sharding), None, None))
+
+    def _partition(mesh, arg_infos, result_info):
+        batch_axis = _batch_axis(arg_infos[0].sharding)
+        arg_shardings = (
+            NamedSharding(mesh, P(batch_axis, None, None)),
+            NamedSharding(mesh, P(batch_axis, None, None)),
+            NamedSharding(mesh, P(batch_axis, None, None)),
+            NamedSharding(mesh, P(batch_axis)),
+        )
+        out_sharding = NamedSharding(mesh, P(batch_axis, None, None))
+
+        def lower_fn(q, k, v, lengths):
+            return impl(q, k, v, lengths)
+
+        return mesh, lower_fn, out_sharding, arg_shardings
+
+    wrapped.def_partition(
+        infer_sharding_from_operands=_infer_sharding,
+        partition=_partition,
+        # batch factor shards; t/s/d stay whole within each invocation
+        sharding_rule="b t d, b s d, b s d, b -> b t d",
+    )
+    return wrapped
+
+
+try:
+    _SPMD_KERNEL = make_spmd_kernel(_attention_pallas)
+except Exception:  # pragma: no cover — older jax without custom_partitioning
+    _SPMD_KERNEL = _attention_pallas
+
+
 @jax.custom_vjp
 def _attention_pallas_ad(q, k, v, lengths):
-    return _attention_pallas(q, k, v, lengths)
+    return _SPMD_KERNEL(q, k, v, lengths)
 
 
 def _attn_fwd(q, k, v, lengths):
-    return _attention_pallas(q, k, v, lengths), (q, k, v, lengths)
+    return _SPMD_KERNEL(q, k, v, lengths), (q, k, v, lengths)
 
 
 def _attn_bwd(residuals, g):
