@@ -1,0 +1,81 @@
+"""Training-step throughput on the attached TPU chip.
+
+Measures the full adversarial step (both phases, R1 second-order penalty,
+both optimizer updates) at the GRID training shape: batch x 40-frame
+112^2 windows, 160 mel frames.  Reports steps/sec and clips/sec with a few
+steps in flight (scalar readback as the sync point — see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 16
+WINDOW = 40
+
+
+def main():
+    from vcagan.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vcagan.configs import TrainConfig
+    from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
+    from vcagan.train.state import make_optimizer
+
+    modules = VCAGANModules.create()
+    cfg = TrainConfig()
+    g_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
+                          cfg.lr_milestones, cfg.lr_gamma, 100)
+    d_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
+                          cfg.lr_milestones, cfg.lr_gamma, 100)
+    state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 100)
+    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True)
+
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        video=jnp.asarray(
+            rng.standard_normal((BATCH, WINDOW, 112, 112, 1)), jnp.float32
+        ),
+        mel=jnp.asarray(
+            np.clip(rng.standard_normal((BATCH, 80, 4 * WINDOW)), -1, 1), jnp.float32
+        ),
+        spec=jnp.asarray(
+            np.abs(rng.standard_normal((BATCH, 321, 4 * WINDOW))), jnp.float32
+        ),
+        vid_len=jnp.full((BATCH,), WINDOW, jnp.int32),
+        mel_len=jnp.full((BATCH,), 4 * WINDOW, jnp.int32),
+    )
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    _ = float(metrics["gen_loss"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f}s")
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(1))
+    _ = float(metrics["gen_loss"])
+
+    n = 8
+    t0 = time.perf_counter()
+    vals = []
+    for i in range(n):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        vals.append(metrics["gen_loss"])
+    _ = [float(v) for v in vals]
+    dt = (time.perf_counter() - t0) / n
+    print(
+        f"train step: {dt*1000:.1f} ms -> {1/dt:.2f} steps/s, "
+        f"{BATCH/dt:.1f} clips/s (batch {BATCH} x {WINDOW} frames)"
+    )
+
+
+if __name__ == "__main__":
+    main()
