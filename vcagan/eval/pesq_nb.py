@@ -176,9 +176,11 @@ def pesq_nb(
         active = np.ones(len(px), bool)
     px, py = px[active], py[active]
 
-    # partial frequency compensation (bounded band gain on the reference)
+    # partial frequency compensation (bounded band gain on the reference);
+    # +/-10 dB bound keeps gross spectral mismatch penalized — wider bounds
+    # let near-silent degraded signals drag the reference down to match
     band_gain = (py.mean(axis=0) + 1e3) / (px.mean(axis=0) + 1e3)
-    band_gain = np.clip(band_gain, 0.01, 100.0)
+    band_gain = np.clip(band_gain, 0.1, 10.0)
     px_eq = px * band_gain[None, :]
 
     # partial gain compensation per frame (bounded)
