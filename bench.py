@@ -22,7 +22,7 @@ import numpy as np
 
 TORCH_CPU_BASELINE = 151.9  # mel-frames/sec; tools/measure_torch_baseline.py
 
-BATCH = 16
+BATCH = 32  # throughput sweet spot on v5e (16: 37.7k, 32: 40.7k, 64: 35.1k)
 FRAMES = 75
 MEL_FRAMES = 4 * FRAMES
 
