@@ -44,6 +44,7 @@ def parse_args(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--log_dir", type=str, default="./runs/grid")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--media_every", type=int, default=100)
     p.add_argument("--synthetic", action="store_true",
                    help="force synthetic fixtures (no corpus needed)")
     return p.parse_args(argv)
@@ -86,7 +87,10 @@ def main(argv=None):
     logs = trainer.validate(fast=True, max_batches=1)
     print(f"pre-train validate: l1={logs[0]:.4f} stoi={logs[1]:.4f}")
     trainer.fit(
-        epochs=args.epochs, start_epoch=args.start_epoch, max_steps=args.max_steps
+        epochs=args.epochs,
+        start_epoch=args.start_epoch,
+        max_steps=args.max_steps,
+        media_every=args.media_every,
     )
     print("Finishing training")
 

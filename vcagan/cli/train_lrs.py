@@ -40,6 +40,7 @@ def parse_args(argv=None):
     p.add_argument("--model_parallel", type=int, default=1)
     p.add_argument("--log_dir", type=str, default="./runs/lrs")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--media_every", type=int, default=100)
     p.add_argument("--synthetic", action="store_true")
     return p.parse_args(argv)
 
@@ -82,7 +83,10 @@ def main(argv=None):
     logs = trainer.validate(fast=True, max_batches=1)
     print(f"pre-train validate: l1={logs[0]:.4f} stoi={logs[1]:.4f}")
     trainer.fit(
-        epochs=args.epochs, start_epoch=args.start_epoch, max_steps=args.max_steps
+        epochs=args.epochs,
+        start_epoch=args.start_epoch,
+        max_steps=args.max_steps,
+        media_every=args.media_every,
     )
     print("Finishing training")
 

@@ -146,6 +146,7 @@ class Trainer:
         start_epoch: int = 0,
         max_steps: Optional[int] = None,
         log_every: int = 1,
+        media_every: int = 0,
         profile_steps: Optional[tuple] = None,
         profile_dir: str = "./runs/profile",
     ):
@@ -183,6 +184,8 @@ class Trainer:
                     host["step_seconds"] = time.time() - step_t0
                     step_t0 = time.time()
                     self.writer.scalars({f"train/{k}": v for k, v in host.items()}, step)
+                if media_every and step % media_every == 0:
+                    self._log_train_media(batch, step)
                 if tc.eval_step and step % tc.eval_step == 0:
                     logs = self.validate(fast=True)
                     self.ckpt.save(self.state, epoch, *logs[1:])
@@ -195,6 +198,29 @@ class Trainer:
                 {"train/epoch_seconds": time.time() - t0}, step
             )
         return step
+
+    def _log_train_media(self, batch, step: int) -> None:
+        """Spectrogram images + Griffin-Lim audio from the current batch
+        (reference logs these every 100 steps, train.py:239-278)."""
+        self.rng, k_noise, k_gl = jax.random.split(self.rng, 3)
+        g3, gs = self.eval_step(
+            self.state.g_params,
+            self.state.batch_stats,
+            batch.video,
+            batch.vid_len,
+            k_noise,
+        )
+        self.writer.spectrogram("train_mel/g3", np.asarray(g3[0]), step)
+        self.writer.spectrogram("train_mel/gt", np.asarray(batch.mel[0]), step)
+        self.writer.spectrogram("train_spec/gen", np.asarray(gs[0]), step)
+        if self.is_lrs:
+            from vcagan.data.lrs import lrs_denormalize_spec
+
+            spec = lrs_denormalize_spec(jnp.swapaxes(gs[:1], 1, 2))
+        else:
+            spec = jnp.maximum(jnp.swapaxes(gs[:1], 1, 2), 0.0)
+        wav = self.pipeline.inverse_spec(spec, k_gl)
+        self.writer.audio("train_aud/pred_spec", np.asarray(wav[0]), step)
 
     # --------------------------------------------------------------- validate
 
