@@ -31,6 +31,8 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--dataparallel", default=False, action="store_true")
     p.add_argument("--gpu", type=str, default="0")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu)")
     return p.parse_args(argv)
 
 
@@ -39,6 +41,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from vcagan.eval.asr_grid import evaluate
     from vcagan.eval.asr_models import GridASR

@@ -51,6 +51,8 @@ def parse_args(argv=None):
     # TPU-native extensions
     p.add_argument("--out_dir", type=str, default="./test")
     p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); must be set before device use")
     p.add_argument("--max_batches", type=int, default=None)
     return p.parse_args(argv)
 
@@ -60,6 +62,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = grid_config(
         **{
             "data.data_root": args.grid,

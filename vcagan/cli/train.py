@@ -47,6 +47,8 @@ def parse_args(argv=None):
     p.add_argument("--media_every", type=int, default=100)
     p.add_argument("--synthetic", action="store_true",
                    help="force synthetic fixtures (no corpus needed)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu); must be set before device use")
     return p.parse_args(argv)
 
 
@@ -79,6 +81,10 @@ def main(argv=None):
     enable_compilation_cache()
 
     args = parse_args(argv)
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     cfg = build_config(args)
     trainer = Trainer(cfg, log_dir=args.log_dir)
     if args.checkpoint is not None:
