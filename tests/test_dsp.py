@@ -191,3 +191,35 @@ class TestMelPipeline:
         b = np.log(1e-5 + approx_np[:, lo:hi]).ravel()
         corr = np.corrcoef(a, b)[0, 1]
         assert corr > 0.8, f"mel pseudo-inverse correlation too low: {corr}"
+
+
+class TestGriffinLimMXU:
+    def test_f32_matches_fft_variant(self):
+        """The windowed-DFT-matmul Griffin-Lim is numerically equivalent to
+        the FFT implementation in fp32."""
+        from vcagan.dsp.griffin_lim import griffin_lim_mxu
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        y = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+        mag = jnp.abs(stft(jnp.asarray(y)[None], PARAMS))
+        r_fft = np.asarray(griffin_lim(mag, jax.random.PRNGKey(0), PARAMS, 20))
+        r_mxu = np.asarray(
+            griffin_lim_mxu(
+                mag, jax.random.PRNGKey(0), PARAMS, 20, compute_dtype=jnp.float32
+            )
+        )
+        assert r_fft.shape == r_mxu.shape
+        np.testing.assert_allclose(r_mxu, r_fft, atol=5e-5)
+
+    def test_bf16_converges(self):
+        from vcagan.dsp.griffin_lim import griffin_lim_mxu
+
+        sr = 16000
+        t = np.arange(sr) / sr
+        y = (0.4 * np.sin(2 * np.pi * 660 * t)).astype(np.float32)
+        mag = jnp.abs(stft(jnp.asarray(y)[None], PARAMS))
+        rec = griffin_lim_mxu(mag, jax.random.PRNGKey(1), PARAMS, 40)
+        m2 = jnp.abs(stft(rec, PARAMS))
+        sc = float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
+        assert sc < 0.25, sc

@@ -17,10 +17,20 @@ This op dominates the mel-frames/sec benchmark path.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from vcagan.dsp.stft import STFTParams, istft_complex, stft
+from vcagan.dsp.stft import (
+    STFTParams,
+    _hann_window,
+    _overlap_add,
+    _window_sumsquare,
+    istft_complex,
+    stft,
+)
 
 
 def griffin_lim(
@@ -58,3 +68,107 @@ def griffin_lim(
     )
     re, im = phasor
     return istft_complex(magnitudes * re, magnitudes * im, params)
+
+
+# --------------------------------------------------------------- MXU variant
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_bases(params: STFTParams):
+    """Windowed DFT bases so the whole analysis/synthesis transform is four
+    matmuls: analysis (n_fft, n_bins) with the Hann window folded into the
+    rows; synthesis (n_bins, n_fft) = irfft weights with the window folded
+    into the columns."""
+    n, n_bins = params.n_fft, params.n_bins
+    win = _hann_window(params.win_length, n)  # (n,)
+    grid = 2.0 * np.pi * np.outer(np.arange(n), np.arange(n_bins)) / n
+    cos_f = np.cos(grid) * win[:, None]  # analysis real
+    sin_f = -np.sin(grid) * win[:, None]  # analysis imag
+    w_k = np.full(n_bins, 2.0)
+    w_k[0] = 1.0
+    if n % 2 == 0:
+        w_k[-1] = 1.0
+    cos_i = (np.cos(grid) * w_k[None, :] / n).T * win[None, :]  # (bins, n)
+    sin_i = (-np.sin(grid) * w_k[None, :] / n).T * win[None, :]
+    to32 = lambda a: a.astype(np.float32)
+    return to32(cos_f), to32(sin_f), to32(cos_i), to32(sin_i)
+
+
+def griffin_lim_mxu(
+    magnitudes: jax.Array,
+    key: jax.Array,
+    params: STFTParams,
+    n_iters: int = 60,
+    unroll: int = 5,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Griffin-Lim with the DFT expressed as windowed-basis matmuls.
+
+    For the 640-point production transform the O(N^2) matmul beats XLA's
+    FFT on TPU because it runs on the MXU (optionally in bf16 with fp32
+    accumulation) and fuses the windowing into the basis.  Semantics match
+    :func:`griffin_lim`; bf16 phase estimation converges to the same
+    magnitudes (the projection iteration is self-correcting) — parity is
+    pinned by tests on spectral convergence.
+    """
+    n_frames = magnitudes.shape[1]
+    cos_f, sin_f, cos_i, sin_i = (
+        jnp.asarray(b, compute_dtype) for b in _dft_bases(params)
+    )
+    hop, n_fft = params.hop_length, params.n_fft
+    pad = n_fft // 2
+
+    wss = _window_sumsquare(n_frames, params)
+    tiny = np.finfo(np.float32).tiny
+    corr = jnp.asarray(
+        np.where(wss > tiny, 1.0 / np.maximum(wss, tiny), 1.0), jnp.float32
+    )
+
+    def synth(spec_re, spec_im):
+        frames = (
+            jnp.einsum(
+                "btk,kn->btn", spec_re.astype(compute_dtype), cos_i,
+                preferred_element_type=jnp.float32,
+            )
+            + jnp.einsum(
+                "btk,kn->btn", spec_im.astype(compute_dtype), sin_i,
+                preferred_element_type=jnp.float32,
+            )
+        )
+        return _overlap_add(frames, params) * corr
+
+    def analyze(y):
+        # centered framing of the trimmed signal with reflect re-padding
+        y = y[:, pad:-pad]
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+        r_factor = n_fft // hop
+        rows = y.reshape(y.shape[0], -1, hop)
+        frames = jnp.concatenate(
+            [rows[:, r : r + n_frames, :] for r in range(r_factor)], axis=-1
+        ).astype(compute_dtype)
+        z_re = jnp.einsum(
+            "btn,nk->btk", frames, cos_f, preferred_element_type=jnp.float32
+        )
+        z_im = jnp.einsum(
+            "btn,nk->btk", frames, sin_f, preferred_element_type=jnp.float32
+        )
+        return z_re, z_im
+
+    angles = jax.random.uniform(
+        key, magnitudes.shape, jnp.float32, minval=-jnp.pi, maxval=jnp.pi
+    )
+    phasor = (jnp.cos(angles), jnp.sin(angles))
+
+    def one_round(phasor, _):
+        re, im = phasor
+        y = synth(magnitudes * re, magnitudes * im)
+        zr, zi = analyze(y)
+        inv_norm = jax.lax.rsqrt(zr * zr + zi * zi + 1e-16)
+        return (zr * inv_norm, zi * inv_norm), None
+
+    phasor, _ = jax.lax.scan(
+        one_round, phasor, None, length=n_iters, unroll=min(unroll, n_iters)
+    )
+    re, im = phasor
+    y = synth(magnitudes * re, magnitudes * im)
+    return y[:, pad:-pad]
