@@ -86,7 +86,10 @@ def lrs_file_list(
             for line in f:
                 line = line.strip()
                 if line:
-                    entries.append((line, "trainval"))
+                    # SVTS split lines carry their crop partition as the
+                    # first path component (pretrain/test/trainval),
+                    # reference vid_aud_lrs3.py:70-76.
+                    entries.append((line, line.split("/")[0]))
     elif dataset == "LRS2":
         name = {"train": "train.txt", "val": "val.txt", "test": "test.txt"}[mode]
         split_file = os.path.join(splits_dir, "LRS2", name)
