@@ -86,13 +86,7 @@ class TestSyntheticEndToEnd:
         assert raw["wav"].shape == (2, 20 * 4 * 160)
 
         process = make_device_pipeline(AudioConfig(), DataConfig(), augment=True)
-        batch = process(
-            raw["video_raw"],
-            raw["wav"],
-            raw["vid_len"],
-            raw["mel_len"],
-            jax.random.PRNGKey(0),
-        )
+        batch = process(raw, jax.random.PRNGKey(0))
         assert batch.video.shape == (2, 20, 112, 112, 1)
         assert batch.mel.shape == (2, 80, 80)
         assert batch.spec.shape == (2, 321, 80)

@@ -107,10 +107,51 @@ class TestLRSDataset:
         )
         raw = next(ds.epoch(2))
         process = make_lrs_device_pipeline(AudioConfig(f_max=7600.0), augment=True)
-        batch = process(
-            raw["video_raw"], raw["centers"], raw["wav"],
-            raw["vid_len"], raw["mel_len"], jax.random.PRNGKey(0),
-        )
+        batch = process(raw, jax.random.PRNGKey(0))
         assert batch.video.shape == (2, 24, 112, 112, 1)
         assert batch.mel.shape == (2, 80, 96)
         assert np.isfinite(np.asarray(batch.mel)).all()
+
+
+class TestPerSampleVocodingLength:
+    def test_padded_vs_trimmed_vocoding_agree_on_valid_region(self):
+        """The LRS test driver vocodes the padded batch with the padded
+        spec frames zero-masked, then trims per sample
+        (vcagan/cli/test_lrs.py; reference test_LRS.py:160-165 slices
+        per-sample before Griffin-Lim).  Zero-magnitude padding must not
+        corrupt the valid region: re-analyzed magnitudes of the padded
+        vocode match the target as well as an exactly-trimmed vocode."""
+        from vcagan.dsp.griffin_lim import griffin_lim
+        from vcagan.dsp.stft import STFTParams, stft_magnitude
+
+        acfg = AudioConfig()
+        params = STFTParams(acfg.n_fft, acfg.hop_length, acfg.win_length)
+        sr = acfg.sample_rate
+        t = np.arange(sr) / sr
+        wav = (0.5 * np.sin(2 * np.pi * (200 + 600 * t) * t)).astype(np.float32)
+        mag, _ = stft_magnitude(jnp.asarray(wav[None]), params)
+        n_valid = 64
+        target = mag[:, :n_valid]
+
+        key = jax.random.PRNGKey(0)
+        w_trim = griffin_lim(target, key, params, 60)
+        padded = jnp.concatenate(
+            [target, jnp.zeros((1, 32, target.shape[2]), target.dtype)], axis=1
+        )
+        w_pad = griffin_lim(padded, key, params, 60)
+
+        def rel_err(w):
+            m, _ = stft_magnitude(w, params)
+            m = m[:, :n_valid]
+            return float(
+                jnp.linalg.norm(m - target) / jnp.linalg.norm(target)
+            )
+
+        e_trim, e_pad = rel_err(w_trim), rel_err(w_pad)
+        # both approximate the target; padding adds no material error
+        assert e_trim < 0.5, e_trim
+        assert e_pad < e_trim * 1.25 + 0.05, (e_pad, e_trim)
+        # the padded region of the padded vocode is essentially silent
+        tail = np.asarray(w_pad[0, n_valid * acfg.hop_length :])
+        valid = np.asarray(w_pad[0, : n_valid * acfg.hop_length])
+        assert np.sqrt(np.mean(tail**2)) < 0.05 * np.sqrt(np.mean(valid**2))

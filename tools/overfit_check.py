@@ -35,10 +35,7 @@ def main(steps: int = 150):
     )
     raw = next(ds.epoch(16))
     process = make_device_pipeline(AudioConfig(), DataConfig(), augment=False)
-    batch = process(
-        raw["video_raw"], raw["wav"], raw["vid_len"], raw["mel_len"],
-        jax.random.PRNGKey(0),
-    )
+    batch = process(raw, jax.random.PRNGKey(0))
 
     modules = VCAGANModules.create()
     cfg = TrainConfig(lr=2e-4)

@@ -22,6 +22,7 @@ from typing import Iterator, List, Optional, Tuple
 import numpy as np
 
 from vcagan.configs import AudioConfig, DataConfig
+from vcagan.data import audio_host
 from vcagan.data.splits import grid_file_list
 from vcagan.data.synthetic import SyntheticLipSpeech
 
@@ -113,6 +114,7 @@ class GridDataset:
         data_config: Optional[DataConfig] = None,
         mode: str = "train",
         seed: int = 0,
+        workers: int = 0,
     ):
         self.source = source
         self.audio = audio_config or AudioConfig()
@@ -123,53 +125,153 @@ class GridDataset:
         self.max_frames = (
             self.data.window_size if self.sample_window else self.data.max_v_timesteps
         )
+        # cv2 decode and scipy lfilter release the GIL, so a thread pool
+        # genuinely parallelizes the per-clip fetch (the reference uses
+        # 6-10 DataLoader worker processes, train.py:139-146)
+        self._pool = None
+        if workers and workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def _fetch(self, idx: int):
+        """Decode + full-clip conditioning for one clip (the parallelizable
+        part; window sampling stays on the epoch thread so rng draws are
+        identical with any worker count)."""
+        video, audio = self.source.clip(int(idx))
+        cond = audio_host.condition_clip(audio, self.audio.preemphasis)
+        return video, audio, cond
+
+    def _fetch_all(self, idxs):
+        if self._pool is not None:
+            return list(self._pool.map(self._fetch, idxs))
+        return [self._fetch(i) for i in idxs]
 
     def __len__(self) -> int:
         return len(self.source)
 
-    def epoch(self, batch_size: int, shuffle: bool = True) -> Iterator[dict]:
+    def epoch(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        process_slice: Optional[slice] = None,
+    ) -> Iterator[dict]:
         """Yield raw (host-side) batches; the caller feeds them through the
-        jitted device pipeline."""
-        order = np.arange(len(self.source))
+        jitted device pipeline.
+
+        ``drop_last=False`` pads the tail partial batch by wrapping earlier
+        samples and marks the real count in ``batch["n_valid"]`` — eval
+        drivers use this so every sample is scored (the reference's
+        DataLoader never drops, train.py:139-146).  With ``drop_last=True``
+        (training), a dataset smaller than the batch is a loud error, not a
+        silent zero-step epoch.
+
+        ``process_slice`` (multi-host): ``batch_size`` is the GLOBAL batch;
+        this process decodes and yields only its slice of each batch (the
+        shuffle order is host-identical because every host seeds the same
+        rng), for assembly via vcagan.parallel.multihost.globalize.  The
+        per-item window-start draws are made here for the FULL global batch
+        before slicing (one uniform per item), so the assembled global
+        batch is bit-identical to a single-process run — drawing inside
+        _collate over the sliced items would misalign the rng stream
+        across hosts.
+        """
+        n = len(self.source)
+        if n == 0 or (drop_last and n < batch_size):
+            raise ValueError(
+                f"dataset has {n} clips < batch_size {batch_size}: "
+                "every epoch would yield zero batches"
+            )
+        sl = process_slice if process_slice is not None else slice(None)
+        order = np.arange(n)
         if shuffle:
             self.rng.shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            idxs = order[start : start + batch_size]
-            yield self._collate(idxs)
 
-    def _collate(self, idxs: List[int]) -> dict:
+        def _starts_u():
+            return self.rng.random(batch_size)[sl] if self.sample_window else None
+
+        for start in range(0, n - batch_size + 1, batch_size):
+            yield self._collate(
+                order[start : start + batch_size][sl], starts_u=_starts_u()
+            )
+        rem = n % batch_size
+        if not drop_last and rem:
+            idxs = np.concatenate(
+                [order[n - rem :], np.resize(order, batch_size - rem)]
+            )
+            yield self._collate(idxs[sl], n_valid=rem, starts_u=_starts_u())
+
+    def _collate(
+        self,
+        idxs: List[int],
+        n_valid: Optional[int] = None,
+        starts_u: Optional[np.ndarray] = None,
+    ) -> dict:
+        """Host half of the input pipeline, numerically faithful to the
+        reference per-item chain (vid_aud_grid.py:126-170):
+
+        - condition the FULL clip (peak-norm x0.9, lfilter pre-emphasis,
+          clamp) — NOT the window (vid_aud_grid.py:142-144)
+        - slice the reflect-padded conditioned clip so device framing
+          reproduces the full-clip centered STFT frames of the window
+        - return the RAW window audio as the metric ground truth
+          (extract_window receives the unconditioned ``audio`` tensor,
+          vid_aud_grid.py:152,164)
+        - ``mel_len`` carries the reference's ``num_a_frames``: the count
+          of real mel frames in the window (vid_aud_grid.py:159)
+
+        ``starts_u``: per-item uniforms in [0, 1) mapped to the window
+        start (``st = floor(u * (t - w + 1))``, uniform over the valid
+        range).  epoch() pre-draws these for the full global batch so
+        multi-host slices stay rng-aligned; a direct _collate call draws
+        them from self.rng.
+        """
         w = self.max_frames
         mel_per = self.audio.mel_per_video_frame
         hop = self.audio.hop_length
-        videos, wavs, vid_lens = [], [], []
-        for i in idxs:
-            video, audio = self.source.clip(int(i))
+        n_fft = self.audio.n_fft
+        seg_frames = w * mel_per + 1  # device drops the extra centered frame
+        if self.sample_window and starts_u is None:
+            starts_u = self.rng.random(len(idxs))
+        videos, wavs, segs, vid_lens, mel_lens = [], [], [], [], []
+        for j, (video, audio, cond) in enumerate(self._fetch_all(idxs)):
             t = video.shape[0]
             if self.sample_window:
-                st = int(self.rng.integers(0, max(t - w, 0) + 1))
-                video = video[st : st + w]
-                a0 = st * mel_per * hop
-                audio = audio[a0 : a0 + w * mel_per * hop]
+                n_starts = max(t - w, 0) + 1
+                st = min(int(starts_u[j] * n_starts), n_starts - 1)
             else:
-                video = video[:w]
-                audio = audio[: w * mel_per * hop]
+                st = 0
+            video = video[st : st + w]
             vid_lens.append(video.shape[0])
-            # pad video to w frames, audio to full window
             if video.shape[0] < w:
                 pad = np.zeros((w - video.shape[0],) + video.shape[1:], video.dtype)
                 video = np.concatenate([video, pad])
-            need = w * mel_per * hop
-            if audio.shape[0] < need:
-                audio = np.concatenate(
-                    [audio, np.zeros(need - audio.shape[0], np.float32)]
-                )
             videos.append(video)
-            wavs.append(audio)
+
+            segs.append(
+                audio_host.stft_segment(
+                    cond, st * mel_per, seg_frames, n_fft, hop
+                )
+            )
+            full = audio_host.full_frame_count(audio.shape[0], hop)
+            mel_lens.append(
+                max(min(full - st * mel_per, w * mel_per), 0)
+            )
+
+            a0 = st * mel_per * hop
+            wav = audio[a0 : a0 + w * mel_per * hop].astype(np.float32)
+            need = w * mel_per * hop
+            if wav.shape[0] < need:
+                wav = np.concatenate([wav, np.zeros(need - wav.shape[0], np.float32)])
+            wavs.append(wav)
         return {
             "video_raw": np.stack(videos),  # (B, W, H, W, 3) uint8
-            "wav": np.stack(wavs),  # (B, W*4*160) float32
+            "aud_cond": np.stack(segs),  # (B, W*4*160 + n_fft) float32
+            "wav": np.stack(wavs),  # (B, W*4*160) float32, raw
             "vid_len": np.asarray(vid_lens, np.int32),
-            "mel_len": np.asarray([v * mel_per for v in vid_lens], np.int32),
+            "mel_len": np.asarray(mel_lens, np.int32),
+            "n_valid": np.int32(len(idxs) if n_valid is None else n_valid),
         }
 
 
@@ -180,12 +282,15 @@ def make_grid_dataset(
     splits_dir: str = "./data",
     synthetic_fallback: bool = True,
     seed: int = 0,
+    workers: int = 0,
 ) -> GridDataset:
     """Real corpus if present, synthetic fixtures otherwise."""
     use_synthetic = False
     try:
         source = GridClipSource(config_data, mode, splits_dir)
-        if len(source) == 0:
+        # The split lists ship with the repo, so they resolve even when the
+        # corpus itself is absent — verify the first clip is on disk.
+        if len(source) == 0 or not os.path.exists(source.files[0]):
             use_synthetic = True
     except (FileNotFoundError, OSError):
         use_synthetic = True
@@ -195,4 +300,4 @@ def make_grid_dataset(
                 f"GRID corpus/splits not found under {config_data.data_root} / {splits_dir}"
             )
         source = SyntheticLipSpeech(num_clips=16)
-    return GridDataset(source, config_audio, config_data, mode, seed)
+    return GridDataset(source, config_audio, config_data, mode, seed, workers)

@@ -25,24 +25,37 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy.signal import lfilter
 
 from vcagan.configs import AudioConfig, DataConfig
+from vcagan.data import audio_host
 from vcagan.data.grid import decode_video, load_audio
 from vcagan.data.splits import load_crop_table
 from vcagan.data.transforms import PIXEL_MEAN, PIXEL_STD
 from vcagan.dsp import MelPipeline, dynamic_range_compression, mel_normalize
+from vcagan.dsp.stft import stft_magnitude
 from vcagan.train.step import Batch
 
 SPEC_DENORM_SCALE = 14.0  # reference vid_aud_lrs2.py:295
 
 
-def lrs_normalize_spec(spec: jax.Array) -> jax.Array:
+def lrs_normalize_spec(
+    spec: jax.Array, valid: Optional[jax.Array] = None
+) -> jax.Array:
     """Per-clip min-max -> log -> [-1, 1] (reference vid_aud_lrs2.py:176-178).
 
     spec: (B, T, 321) linear magnitudes; min/max per clip over all bins.
+    ``valid`` (B, T) bool restricts the min/max to real (unpadded) frames —
+    the reference normalizes the windowed spec BEFORE padding, so padding
+    never enters the statistics.
     """
-    lo = jnp.min(spec, axis=(1, 2), keepdims=True)
-    hi = jnp.max(spec, axis=(1, 2), keepdims=True)
+    if valid is not None:
+        m = valid[:, :, None]
+        lo = jnp.min(jnp.where(m, spec, jnp.inf), axis=(1, 2), keepdims=True)
+        hi = jnp.max(jnp.where(m, spec, -jnp.inf), axis=(1, 2), keepdims=True)
+    else:
+        lo = jnp.min(spec, axis=(1, 2), keepdims=True)
+        hi = jnp.max(spec, axis=(1, 2), keepdims=True)
     unit = (spec - lo) / jnp.maximum(hi - lo, 1e-8)
     return mel_normalize(dynamic_range_compression(unit))
 
@@ -204,6 +217,7 @@ class LRSDataset:
         data_config: Optional[DataConfig] = None,
         mode: str = "train",
         seed: int = 0,
+        workers: int = 0,
     ):
         self.source = source
         self.audio = audio_config or AudioConfig(f_max=7600.0)
@@ -213,6 +227,25 @@ class LRSDataset:
         self.mode = mode
         self.sample_window = mode == "train"
         self.rng = np.random.default_rng(seed)
+        self._pool = None
+        if workers and workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def _fetch(self, idx: int):
+        """Decode + full-clip conditioning (the parallelizable part)."""
+        video, audio, coords = self.source.clip(int(idx))
+        normed = audio_host.peak_normalize_clip(audio)
+        cond = np.clip(
+            lfilter([1.0, -self.audio.preemphasis], [1.0], normed), -1.0, 1.0
+        ).astype(np.float32)
+        return video, audio, coords, normed, cond
+
+    def _fetch_all(self, idxs):
+        if self._pool is not None:
+            return list(self._pool.map(self._fetch, idxs))
+        return [self._fetch(i) for i in idxs]
 
     def __len__(self) -> int:
         return len(self.source)
@@ -223,38 +256,88 @@ class LRSDataset:
                 return b
         return self.data.max_v_timesteps
 
-    def epoch(self, batch_size: int, shuffle: bool = True) -> Iterator[dict]:
-        order = np.arange(len(self.source))
+    def epoch(
+        self,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        process_slice: Optional[slice] = None,
+    ) -> Iterator[dict]:
+        """See GridDataset.epoch for the drop_last / process_slice contract.
+
+        Multi-host caveat: eval-mode bucket selection uses only the LOCAL
+        slice's clip lengths, so hosts could pick different buckets; train
+        mode (fixed window) is host-uniform.  Multi-host eval should run
+        single-host or with window-mode collation.
+        """
+        n = len(self.source)
+        if n == 0 or (drop_last and n < batch_size):
+            raise ValueError(
+                f"dataset has {n} clips < batch_size {batch_size}: "
+                "every epoch would yield zero batches"
+            )
+        sl = process_slice if process_slice is not None else slice(None)
+        order = np.arange(n)
         if shuffle:
             self.rng.shuffle(order)
-        for start in range(0, len(order) - batch_size + 1, batch_size):
-            yield self._collate(order[start : start + batch_size])
 
-    def _collate(self, idxs) -> dict:
+        def _starts_u():
+            # full-global-batch draws before slicing (see GridDataset.epoch)
+            return self.rng.random(batch_size)[sl] if self.sample_window else None
+
+        for start in range(0, n - batch_size + 1, batch_size):
+            yield self._collate(
+                order[start : start + batch_size][sl], starts_u=_starts_u()
+            )
+        rem = n % batch_size
+        if not drop_last and rem:
+            idxs = np.concatenate(
+                [order[n - rem :], np.resize(order, batch_size - rem)]
+            )
+            yield self._collate(idxs[sl], n_valid=rem, starts_u=_starts_u())
+
+    def _collate(
+        self,
+        idxs,
+        n_valid: Optional[int] = None,
+        starts_u: Optional[np.ndarray] = None,
+    ) -> dict:
+        """Host half, faithful to the reference per-item chain
+        (vid_aud_lrs2.py:150-201): the FULL clip is peak-normalized (the
+        returned waveform too — the LRS datasets mutate ``audio`` in place,
+        :152), pre-emphasized, clamped, and the window is cropped out of
+        the full-clip mel/spec; ``mel_len`` carries ``num_a_frames``.
+
+        ``starts_u``: see GridDataset._collate — per-item uniforms mapped
+        to window starts, pre-drawn by epoch() for multi-host alignment.
+        """
         mel_per = self.audio.mel_per_video_frame
         hop = self.audio.hop_length
-        clips = [self.source.clip(int(i)) for i in idxs]
+        n_fft = self.audio.n_fft
+        clips = self._fetch_all(idxs)
+        if self.sample_window and starts_u is None:
+            starts_u = self.rng.random(len(idxs))
 
         if self.sample_window:
             w = self.data.window_size
         else:
             longest = min(
-                max(v.shape[0] for v, _, _ in clips), self.data.max_v_timesteps
+                max(v.shape[0] for v, *_ in clips), self.data.max_v_timesteps
             )
             w = self._bucket(longest)
+        seg_frames = w * mel_per + 1
 
-        videos, wavs, centers, vid_lens = [], [], [], []
-        for video, audio, coords in clips:
+        videos, wavs, segs, centers, vid_lens, mel_lens = [], [], [], [], [], []
+        for j, (video, audio, coords, normed, cond) in enumerate(clips):
             t = min(video.shape[0], coords.shape[0])
             video, coords = video[:t], coords[:t]
             if self.sample_window:
-                st = int(self.rng.integers(0, max(t - w, 0) + 1))
+                n_starts = max(t - w, 0) + 1
+                st = min(int(starts_u[j] * n_starts), n_starts - 1)
             else:
                 st = 0
             video = video[st : st + w]
             coords = coords[st : st + w]
-            a0 = st * mel_per * hop
-            audio = audio[a0 : a0 + w * mel_per * hop]
             n = video.shape[0]
             vid_lens.append(n)
             if n < w:
@@ -264,20 +347,29 @@ class LRSDataset:
                 coords = np.concatenate(
                     [coords, np.repeat(coords[-1:], w - n, axis=0)]
                 )
+
+            segs.append(
+                audio_host.stft_segment(cond, st * mel_per, seg_frames, n_fft, hop)
+            )
+            full = audio_host.full_frame_count(audio.shape[0], hop)
+            mel_lens.append(max(min(full - st * mel_per, w * mel_per), 0))
+
+            a0 = st * mel_per * hop
+            wav = normed[a0 : a0 + w * mel_per * hop]
             need = w * mel_per * hop
-            if audio.shape[0] < need:
-                audio = np.concatenate(
-                    [audio, np.zeros(need - audio.shape[0], np.float32)]
-                )
+            if wav.shape[0] < need:
+                wav = np.concatenate([wav, np.zeros(need - wav.shape[0], np.float32)])
             videos.append(video)
-            wavs.append(audio.astype(np.float32))
+            wavs.append(wav.astype(np.float32))
             centers.append(coords)
         return {
             "video_raw": np.stack(videos),
             "centers": np.stack(centers),
+            "aud_cond": np.stack(segs),
             "wav": np.stack(wavs),
             "vid_len": np.asarray(vid_lens, np.int32),
-            "mel_len": np.asarray([v * mel_per for v in vid_lens], np.int32),
+            "mel_len": np.asarray(mel_lens, np.int32),
+            "n_valid": np.int32(len(idxs) if n_valid is None else n_valid),
         }
 
 
@@ -285,12 +377,14 @@ def make_lrs_device_pipeline(
     audio_config: Optional[AudioConfig] = None,
     augment: bool = False,
 ):
-    """jitted raw-batch -> Batch for LRS (dynamic crops + LRS spec chain)."""
+    """jitted ``process(raw: dict, key) -> Batch`` for LRS (dynamic crops +
+    the LRS spec chain over host-conditioned full-clip audio)."""
     acfg = audio_config or AudioConfig(f_max=7600.0)
     pipe = MelPipeline(acfg)
 
     @jax.jit
-    def process(video_raw, centers, wav, vid_len, mel_len, key):
+    def process(raw, key):
+        video_raw, centers = raw["video_raw"], raw["centers"]
         b, w = video_raw.shape[0], video_raw.shape[1]
         keys = jax.random.split(key, b)
 
@@ -305,15 +399,15 @@ def make_lrs_device_pipeline(
 
         video = jax.vmap(one)(video_raw, centers, keys)
 
-        wav_c = pipe.condition_waveform(wav)
-        mel, spec = pipe.mel_spectrogram(wav_c)
+        mag, _ = stft_magnitude(raw["aud_cond"], pipe.stft_params, center=False)
         n_mel = w * acfg.mel_per_video_frame
-        mel = mel_normalize(mel[:, :n_mel])
-        spec = lrs_normalize_spec(spec[:, :n_mel])
+        mel = mel_normalize(pipe.compress_mel(mag)[:, :n_mel])
 
-        # mask padded mel region to the reference's -1.0 pad value
-        frame_idx = jnp.arange(n_mel)[None, :]
-        valid = frame_idx < mel_len[:, None]
+        mel_len = raw["mel_len"]
+        valid = jnp.arange(n_mel)[None, :] < mel_len[:, None]
+        spec = lrs_normalize_spec(mag[:, :n_mel], valid)
+
+        # pad with the reference's -1.0 (vid_aud_lrs2.py:181-182)
         mel = jnp.where(valid[:, :, None], mel, -1.0)
         spec = jnp.where(valid[:, :, None], spec, -1.0)
 
@@ -321,7 +415,7 @@ def make_lrs_device_pipeline(
             video=video,
             mel=jnp.swapaxes(mel, 1, 2),
             spec=jnp.swapaxes(spec, 1, 2),
-            vid_len=vid_len,
+            vid_len=raw["vid_len"],
             mel_len=mel_len,
         )
 

@@ -50,9 +50,14 @@ class MelPipeline:
         matmul here), log compression.
         """
         mag, _ = stft_magnitude(wav, self.stft_params)
+        return self.compress_mel(mag), mag
+
+    def compress_mel(self, mag: jax.Array) -> jax.Array:
+        """Linear magnitudes (B, T, n_linear) -> log-mel (B, T, n_mels):
+        mel projection (an MXU matmul) + log compression
+        (reference: vid_aud_grid.py:303-306)."""
         mel = mag @ jnp.asarray(self.mel_basis.T, mag.dtype)
-        mel = audio_ops.dynamic_range_compression(mel)
-        return mel, mag
+        return audio_ops.dynamic_range_compression(mel)
 
     # ---------------------------------------------------------------- inverse
 

@@ -64,8 +64,14 @@ def frame_count(num_samples: int, params: STFTParams) -> int:
     return 1 + num_samples // params.hop_length
 
 
-def _frame(y: jax.Array, params: STFTParams) -> jax.Array:
-    """(B, L) -> (B, T, n_fft) centered frames (reflect padding).
+def _frame(y: jax.Array, params: STFTParams, center: bool = True) -> jax.Array:
+    """(B, L) -> (B, T, n_fft) frames.
+
+    ``center=True`` reflect-pads n_fft//2 each side (the reference's
+    full-clip semantics, stft.py:70-98); ``center=False`` frames the signal
+    as-is — used by the input pipeline, where the host has already
+    reflect-padded around the TRUE clip edges and sliced the window
+    (vcagan.data.audio_host.stft_segment).
 
     When n_fft % hop == 0 (the 640/160 production config) framing is pure
     reshape + R shifted slices + concat — no gather op at all, the exact
@@ -73,8 +79,9 @@ def _frame(y: jax.Array, params: STFTParams) -> jax.Array:
     60x per call, so avoiding the gather matters.
     """
     n_fft, hop = params.n_fft, params.hop_length
-    pad = n_fft // 2
-    y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
+    if center:
+        pad = n_fft // 2
+        y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     n_frames = 1 + (y.shape[1] - n_fft) // hop
 
     if n_fft % hop == 0:
@@ -89,18 +96,18 @@ def _frame(y: jax.Array, params: STFTParams) -> jax.Array:
     return y[:, idx]
 
 
-def stft(y: jax.Array, params: STFTParams) -> jax.Array:
+def stft(y: jax.Array, params: STFTParams, center: bool = True) -> jax.Array:
     """Complex STFT.  y: (B, L) float -> (B, T, n_fft//2+1) complex64."""
-    frames = _frame(y, params) * window(params, y.dtype)
+    frames = _frame(y, params, center=center) * window(params, y.dtype)
     return jnp.fft.rfft(frames, n=params.n_fft, axis=-1)
 
 
-def stft_magnitude(y: jax.Array, params: STFTParams):
+def stft_magnitude(y: jax.Array, params: STFTParams, center: bool = True):
     """Magnitude + phase, mirroring reference STFT.transform (stft.py:70-98).
 
     Returns (mag, phase), each (B, T, n_bins).
     """
-    z = stft(y, params)
+    z = stft(y, params, center=center)
     return jnp.abs(z), jnp.angle(z)
 
 
