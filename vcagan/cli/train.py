@@ -67,6 +67,7 @@ def build_config(args):
             "train.seed": args.seed,
             "train.eval_step": args.eval_step,
             "train.start_epoch": args.start_epoch,
+            "train.workers": args.workers,
             "train.checkpoint_dir": args.checkpoint_dir,
             "model.sync_temp": args.temp,
             "mesh.model_parallel": args.model_parallel,

@@ -46,20 +46,32 @@ def prefetch_iterator(
 
 
 class ParallelEpoch:
-    """Decode clips for upcoming batches in a thread pool.
+    """Keep ``depth`` collated batches ready ahead of the training loop.
 
-    ``dataset.epoch`` already yields collated raw batches; this wraps it
-    with prefetching.  For higher decode throughput, pass ``workers > 1`` to
-    fan the per-clip decode out (the dataset's _collate does the IO).
+    Per-clip decode parallelism lives in the dataset itself (the
+    ``workers`` constructor argument of GridDataset/LRSDataset fans
+    ``source.clip`` + full-clip conditioning out over a thread pool); this
+    wrapper only overlaps the whole collate with device compute.
     """
 
-    def __init__(self, dataset, batch_size: int, depth: int = 2, shuffle: bool = True):
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        depth: int = 2,
+        shuffle: bool = True,
+        process_slice=None,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.depth = depth
         self.shuffle = shuffle
+        self.process_slice = process_slice
 
     def __iter__(self):
         return prefetch_iterator(
-            self.dataset.epoch(self.batch_size, self.shuffle), self.depth
+            self.dataset.epoch(
+                self.batch_size, self.shuffle, process_slice=self.process_slice
+            ),
+            self.depth,
         )

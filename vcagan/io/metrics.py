@@ -54,10 +54,38 @@ class MetricWriter:
             sample_rate=sample_rate,
         )
 
+    def waveform(self, tag: str, wav, step: int) -> None:
+        """Log a waveform figure (reference logs wav_tr/wav_pred/wav_spec
+        line plots during validation, train.py:406-448)."""
+        if self._tb is None:
+            return
+        self._tb.add_image(tag, plot_waveform_to_numpy(wav), step)
+
     def close(self) -> None:
         self._file.close()
         if self._tb is not None:
             self._tb.close()
+
+
+def plot_waveform_to_numpy(wav) -> "np.ndarray":
+    """(L,) waveform -> (3, H, W) uint8 RGB line plot."""
+    import numpy as np
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    wav = np.asarray(wav).reshape(-1)
+    fig, ax = plt.subplots(figsize=(15, 2.5))
+    ax.plot(wav, linewidth=0.5)
+    ax.set_ylim(-1.05, 1.05)
+    ax.set_xlabel("Samples")
+    plt.tight_layout()
+    fig.canvas.draw()
+    data = np.asarray(fig.canvas.buffer_rgba())[:, :, :3]
+    plt.close(fig)
+    return data.transpose(2, 0, 1)
 
 
 def plot_spectrogram_to_numpy(mel) -> "np.ndarray":

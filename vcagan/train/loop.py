@@ -81,30 +81,16 @@ class Trainer:
         if self.is_lrs:
             from vcagan.data.lrs import make_lrs_device_pipeline
 
-            lrs_train = make_lrs_device_pipeline(
+            self.process_train = make_lrs_device_pipeline(
                 config.audio, augment=config.data.augmentations
             )
-            lrs_eval = make_lrs_device_pipeline(config.audio, augment=False)
-            self.process_train = lambda raw, key: lrs_train(
-                raw["video_raw"], raw["centers"], raw["wav"],
-                raw["vid_len"], raw["mel_len"], key,
-            )
-            self.process_eval = lambda raw, key: lrs_eval(
-                raw["video_raw"], raw["centers"], raw["wav"],
-                raw["vid_len"], raw["mel_len"], key,
-            )
+            self.process_eval = make_lrs_device_pipeline(config.audio, augment=False)
         else:
-            grid_train = make_device_pipeline(
+            self.process_train = make_device_pipeline(
                 config.audio, config.data, augment=config.data.augmentations
             )
-            grid_eval = make_device_pipeline(
+            self.process_eval = make_device_pipeline(
                 config.audio, config.data, augment=False
-            )
-            self.process_train = lambda raw, key: grid_train(
-                raw["video_raw"], raw["wav"], raw["vid_len"], raw["mel_len"], key
-            )
-            self.process_eval = lambda raw, key: grid_eval(
-                raw["video_raw"], raw["wav"], raw["vid_len"], raw["mel_len"], key
             )
         self.train_step = make_train_step(
             self.modules, self.g_tx, self.d_tx, tc, donate=True
@@ -116,6 +102,9 @@ class Trainer:
 
     def _make_dataset(self, mode: str, seed: int = 0):
         cfg = self.config
+        # decode worker pool: full count for training, 2 for validation
+        # (reference train.py:139-146 / 337-353)
+        workers = cfg.train.workers if mode == "train" else min(cfg.train.workers, 2)
         if self.is_lrs:
             from vcagan.data.lrs import LRSClipSource, LRSDataset, SyntheticLRSSource
 
@@ -132,10 +121,10 @@ class Trainer:
                         f"{cfg.data.dataset} corpus/splits not found"
                     )
                 source = SyntheticLRSSource(num_clips=8)
-            return LRSDataset(source, cfg.audio, cfg.data, mode, seed)
+            return LRSDataset(source, cfg.audio, cfg.data, mode, seed, workers)
         return make_grid_dataset(
             cfg.data, cfg.audio, mode,
-            synthetic_fallback=self.synthetic_fallback, seed=seed,
+            synthetic_fallback=self.synthetic_fallback, seed=seed, workers=workers,
         )
 
     # ------------------------------------------------------------------ train
@@ -163,14 +152,27 @@ class Trainer:
         step_t0 = time.time()
         from vcagan.data.prefetch import ParallelEpoch
 
+        # Multi-host (DCN) input feeding: each process decodes only its
+        # slice of the global batch and assembles global arrays; the seeded
+        # shuffle order is host-identical, so slices partition each batch.
+        proc_slice = None
+        if jax.process_count() > 1:
+            from vcagan.parallel.multihost import local_batch_slice
+
+            proc_slice = local_batch_slice(tc.batch_size)
+
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
-            for raw in ParallelEpoch(self.train_ds, tc.batch_size, depth=2):
+            for raw in ParallelEpoch(
+                self.train_ds, tc.batch_size, depth=2, process_slice=proc_slice
+            ):
                 if profile_steps and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 self.rng, k_pipe, k_step = jax.random.split(self.rng, 3)
+                if proc_slice is not None:
+                    raw = self._globalize_raw(raw)
                 batch = self.process_train(raw, k_pipe)
-                if self.mesh is not None:
+                if self.mesh is not None and proc_slice is None:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch, k_step)
                 step += 1
@@ -199,6 +201,19 @@ class Trainer:
             )
         return step
 
+    def _globalize_raw(self, raw: dict) -> dict:
+        """Per-host raw batch slice -> global arrays on the mesh's data
+        axis (vcagan.parallel.multihost.globalize)."""
+        from vcagan.parallel import batch_sharding
+        from vcagan.parallel.multihost import globalize
+
+        sh = batch_sharding(self.mesh)
+        out = {}
+        for k, v in raw.items():
+            v = np.asarray(v)
+            out[k] = globalize(v, sh) if v.ndim > 0 else v
+        return out
+
     def _log_train_media(self, batch, step: int) -> None:
         """Spectrogram images + Griffin-Lim audio from the current batch
         (reference logs these every 100 steps, train.py:239-278)."""
@@ -225,10 +240,14 @@ class Trainer:
     # --------------------------------------------------------------- validate
 
     def validate(self, fast: bool = False, max_batches: Optional[int] = None):
-        """Returns (recon_l1, stoi, estoi, pesq placeholder 0).
+        """Returns (recon_l1, stoi, estoi, pesq) of the POSTNET path.
 
         Mirrors reference validate (train.py:331-468): forward, Griffin-Lim
-        both paths, STOI/ESTOI on the postnet path; fast mode = 5 batches.
+        BOTH paths — inverse_mel(g3) and inverse_spec(gs) — STOI/ESTOI/PESQ
+        for each (the mel-path numbers go to the metric stream as
+        val/*_mel), waveform + spectrogram figures for the first batch;
+        fast mode = 5 batches; returns the postnet-path tuple
+        (train.py:468).
         """
         cfg = self.config
         val_ds = self._make_dataset("val", seed=0)
@@ -238,9 +257,11 @@ class Trainer:
         from vcagan.eval.pesq_nb import pesq_batch
 
         losses, stois, estois, pesqs = [], [], [], []
-        for i, raw in enumerate(val_ds.epoch(bs, shuffle=fast)):
+        stois_mel, estois_mel = [], []
+        for i, raw in enumerate(val_ds.epoch(bs, shuffle=fast, drop_last=False)):
             if i >= limit:
                 break
+            nv = int(raw.get("n_valid", bs))
             self.rng, k_pipe, k_noise, k_gl = jax.random.split(self.rng, 4)
             batch = self.process_eval(raw, k_pipe)
             g3, gs = self.eval_step(
@@ -250,7 +271,7 @@ class Trainer:
                 batch.vid_len,
                 k_noise,
             )
-            losses.append(float(jnp.mean(jnp.abs(g3 - batch.mel))))
+            losses.append(float(jnp.mean(jnp.abs(g3 - batch.mel)[:nv])))
             if self.is_lrs:
                 from vcagan.data.lrs import lrs_denormalize_spec
 
@@ -258,13 +279,22 @@ class Trainer:
             else:
                 spec = jnp.maximum(jnp.swapaxes(gs, 1, 2), 0.0)
             wav_pred = self.pipeline.inverse_spec(spec, k_gl)
+            # mel path: inverse_mel(g3) (reference train.py:389)
+            wav_mel = self.pipeline.inverse_mel(jnp.swapaxes(g3, 1, 2), k_gl)
             wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
-            stois.append(np.asarray(stoi_batch(wav_gt, wav_pred)))
-            estois.append(np.asarray(stoi_batch(wav_gt, wav_pred, extended=True)))
+            stois.append(np.asarray(stoi_batch(wav_gt, wav_pred))[:nv])
+            estois.append(
+                np.asarray(stoi_batch(wav_gt, wav_pred, extended=True))[:nv]
+            )
             pesqs.append(
                 np.asarray(
                     pesq_batch(np.asarray(wav_gt), np.asarray(wav_pred), fs=16_000)
-                )
+                )[:nv]
+            )
+            wav_mel_t = wav_mel[:, : wav_gt.shape[1]]
+            stois_mel.append(np.asarray(stoi_batch(wav_gt, wav_mel_t))[:nv])
+            estois_mel.append(
+                np.asarray(stoi_batch(wav_gt, wav_mel_t, extended=True))[:nv]
             )
 
             if i == 0:  # media for the first batch (reference train.py:406-448)
@@ -273,15 +303,32 @@ class Trainer:
                 self.writer.spectrogram("val_mel/gt", np.asarray(batch.mel[0]), step)
                 self.writer.spectrogram("val_spec/gen", np.asarray(gs[0]), step)
                 self.writer.audio("val_aud/pred", np.asarray(wav_pred[0]), step)
+                self.writer.audio("val_aud/pred_mel", np.asarray(wav_mel[0]), step)
                 self.writer.audio("val_aud/gt", np.asarray(wav_gt[0]), step)
+                self.writer.waveform("val_wav/gt", np.asarray(wav_gt[0]), step)
+                self.writer.waveform("val_wav/pred_mel", np.asarray(wav_mel[0]), step)
+                self.writer.waveform("val_wav/pred_spec", np.asarray(wav_pred[0]), step)
 
         if not losses:
             return 0.0, 0.0, 0.0, 0.0
         pesq_all = np.concatenate(pesqs)
         pesq_mean = float(np.nanmean(pesq_all)) if np.isfinite(pesq_all).any() else 0.0
-        return (
+        logs = (
             float(np.mean(losses)),
             float(np.nanmean(np.concatenate(stois))),
             float(np.nanmean(np.concatenate(estois))),
             pesq_mean,
         )
+        # mel-path metrics go to the stream (reference logs both paths,
+        # train.py:453-460, but returns/checkpoints on the postnet path)
+        self.writer.scalars(
+            {
+                "val/stoi": logs[1],
+                "val/estoi": logs[2],
+                "val/pesq": logs[3],
+                "val/stoi_mel": float(np.nanmean(np.concatenate(stois_mel))),
+                "val/estoi_mel": float(np.nanmean(np.concatenate(estois_mel))),
+            },
+            int(self.state.step),
+        )
+        return logs
