@@ -64,21 +64,94 @@ class TestTrainStep:
         assert max_delta(state.d_params, new_state.d_params) > 0
 
     def test_vfront_receives_sync_leak(self, setup):
-        """The D phase must leave gradients in v_front (reference
-        train.py:210 'accumulate v_front grad')."""
-        modules, state, step_fn = setup
-        from vcagan.train.step import make_train_step as _
-        # run two steps with identical batches; v_front params must change
-        batch = tiny_batch()
-        s1, _m = step_fn(state, batch, jax.random.PRNGKey(1))
-        delta = jax.tree.leaves(
-            jax.tree.map(
-                lambda x, y: float(jnp.abs(x - y).max()),
-                state.g_params["v_front"],
-                s1.g_params["v_front"],
-            )
+        """Differential pin of the reference's deliberate D-phase gradient
+        leak into v_front (train.py:210 'accumulate v_front grad'): the
+        same step with the leak disabled must produce DIFFERENT v_front
+        updates — and identical discriminator updates (the leak only feeds
+        the G optimizer)."""
+        import optax
+
+        modules, state, _ = setup
+        cfg = TrainConfig(lr=1e-4, weight_decay=1e-5)
+        # plain SGD(1.0): parameter deltas EQUAL gradient deltas, so the
+        # leaked sync gradients are measured directly.  (Adam's
+        # g/sqrt(v) normalization amplifies cross-compilation float noise
+        # on near-zero grads to O(lr), which would swamp the comparison.)
+        leak_fn = make_train_step(
+            modules, optax.sgd(1.0), optax.sgd(1.0), cfg,
+            donate=False, sync_leak=True,
         )
-        assert max(delta) > 0
+        noleak_fn = make_train_step(
+            modules, optax.sgd(1.0), optax.sgd(1.0), cfg,
+            donate=False, sync_leak=False,
+        )
+        from vcagan.train.state import GANTrainState
+
+        sgd_state = GANTrainState(
+            step=state.step,
+            g_params=state.g_params,
+            d_params=state.d_params,
+            batch_stats=state.batch_stats,
+            g_opt_state=optax.sgd(1.0).init(state.g_params),
+            d_opt_state=optax.sgd(1.0).init(state.d_params),
+        )
+        batch = tiny_batch()
+        s_leak, _ = leak_fn(sgd_state, batch, jax.random.PRNGKey(1))
+        s_nol, _ = noleak_fn(sgd_state, batch, jax.random.PRNGKey(1))
+
+        def max_delta(a, b):
+            return max(
+                float(l)
+                for l in jax.tree.leaves(
+                    jax.tree.map(lambda x, y: jnp.abs(x - y).max(), a, b)
+                )
+            )
+
+        # v_front updates differ by exactly the leaked sync gradients
+        vf_delta = max_delta(s_leak.g_params["v_front"], s_nol.g_params["v_front"])
+        # the leak reaches only v_front: D / generator / postnet updates
+        # agree up to cross-compilation float reassociation noise
+        d_delta = max_delta(s_leak.d_params, s_nol.d_params)
+        gen_delta = max_delta(s_leak.g_params["gen"], s_nol.g_params["gen"])
+        post_delta = max_delta(s_leak.g_params["post"], s_nol.g_params["post"])
+        assert vf_delta > 1e-4, vf_delta
+        assert d_delta < vf_delta / 10, (d_delta, vf_delta)
+        assert gen_delta < vf_delta / 10, (gen_delta, vf_delta)
+        assert post_delta < vf_delta / 10, (post_delta, vf_delta)
+
+    def test_s_dis_stats_updated_in_both_phases(self, setup):
+        """The reference runs s_dis in the D phase (real mel) AND the G
+        phase (generated mel), so its BN running stats advance twice per
+        step; a D-phase-only update must differ."""
+        modules, state, step_fn = setup
+        batch = tiny_batch()
+        s1, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+        # recompute the D-phase-only stats by applying s_dis once on real mel
+        phon, _sent = modules.v_front.apply(
+            {
+                "params": state.g_params["v_front"],
+                "batch_stats": state.batch_stats["v_front"],
+            },
+            batch.video,
+            train=False,
+        )
+        _, upd = modules.s_dis.apply(
+            {
+                "params": state.d_params["s_dis"],
+                "batch_stats": state.batch_stats["s_dis"],
+            },
+            phon,
+            batch.mel[..., None],
+            gen=False,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        one_phase = jax.tree.leaves(upd["batch_stats"])
+        final = jax.tree.leaves(s1.batch_stats["s_dis"])
+        assert any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(one_phase, final)
+        )
 
     def test_loss_decreases_overfit(self, setup):
         """Recon loss should drop when overfitting one batch for a few steps."""

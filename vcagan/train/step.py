@@ -79,10 +79,16 @@ def make_train_step(
     d_tx: optax.GradientTransformation,
     config: TrainConfig | None = None,
     donate: bool = True,
+    sync_leak: bool = True,
 ):
     """Build the jitted GAN train step.
 
     Returns ``step_fn(state, batch, rng) -> (state, metrics)``.
+
+    ``sync_leak=False`` disables the reference's deliberate D-phase
+    gradient leak into v_front (the ``retain_graph=True`` accumulation at
+    reference train.py:210) — used by the differential regression test
+    that pins the leak's effect on the G update.
     """
     cfg = config or TrainConfig()
 
@@ -183,7 +189,12 @@ def make_train_step(
             u, c = disc_logits(d_params, name, _img(g_k), sent_sg)
             adv_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
 
-        g_sync_vec, _ = modules.s_dis.apply(
+        # The reference runs s_dis in BOTH phases per step, so its BN
+        # running stats are updated twice: by the D-phase (real mel) and
+        # again here by the generated mel (train.py:186,224).  train-mode
+        # BN outputs never read running stats, so this only affects the
+        # saved statistics, not gradients.
+        g_sync_vec, s_dis_upd = modules.s_dis.apply(
             {"params": d_params["s_dis"], "batch_stats": batch_stats["s_dis"]},
             jax.lax.stop_gradient(phon),
             _img(g3),
@@ -214,6 +225,7 @@ def make_train_step(
             "g_sync_loss": g_sync_loss,
             "gen_side_stats": gen_side_stats,
             "post_stats": post_upd["batch_stats"],
+            "s_dis_stats": s_dis_upd["batch_stats"],
         }
         return gen_loss, aux
 
@@ -231,14 +243,18 @@ def make_train_step(
         )
         d_params = optax.apply_updates(state.d_params, d_updates)
 
-        # ---- G phase with the updated D (torch ordering) ----
+        # ---- G phase with the updated D (torch ordering); s_dis stats
+        # continue from the D-phase update (reference runs s_dis twice) ----
+        bs_after_d = dict(state.batch_stats)
+        bs_after_d["s_dis"] = d_aux["s_dis_stats"]
         (gen_loss, g_aux), g_grads = jax.value_and_grad(
             g_loss_fn, has_aux=True
-        )(state.g_params, d_params, state.batch_stats, batch, rngs)
+        )(state.g_params, d_params, bs_after_d, batch, rngs)
 
-        # Accumulate the leaked sync grads into the G update
-        # (reference train.py:210 "accumulate v_front grad").
-        g_grads = jax.tree.map(jnp.add, g_grads, vf_sync_grads)
+        if sync_leak:
+            # Accumulate the leaked sync grads into the G update
+            # (reference train.py:210 "accumulate v_front grad").
+            g_grads = jax.tree.map(jnp.add, g_grads, vf_sync_grads)
 
         g_updates, g_opt_state = g_tx.update(
             g_grads, state.g_opt_state, state.g_params
@@ -248,7 +264,7 @@ def make_train_step(
         batch_stats = dict(state.batch_stats)
         batch_stats.update(g_aux["gen_side_stats"])
         batch_stats["post"] = g_aux["post_stats"]
-        batch_stats["s_dis"] = d_aux["s_dis_stats"]
+        batch_stats["s_dis"] = g_aux["s_dis_stats"]
         # discriminators are norm-free (reference ResBlk normalize=False);
         # keep their (empty) entries as-is.
 
