@@ -56,3 +56,27 @@ class TestPesq:
     def test_16k_input(self):
         x = speech(n=48000, sr=16000, seed=8)
         assert pesq_nb(x, x, fs=16000) > 4.3
+
+    def test_white_noise_anchor_bands(self):
+        """The calibration contract from the module docstring: white-noise
+        SNR anchors land within +/-0.5 MOS of the published P.862-NB curve
+        for harmonic voices."""
+
+        def voice(n, f0, sr=8000):
+            t = np.arange(n) / sr
+            env = np.clip(np.sin(2 * np.pi * 2.2 * t) + 0.4, 0, None)
+            sig = sum(
+                np.sin(2 * np.pi * f0 * k * t + 0.3 * np.sin(2 * np.pi * 5 * t)) / k
+                for k in range(1, 8)
+            )
+            return (env * sig * 0.1).astype(np.float64)
+
+        anchors = {40: 4.2, 30: 3.6, 20: 2.9, 10: 2.1, 5: 1.8, 0: 1.5}
+        noise = np.random.default_rng(1).standard_normal(32000)
+        for f0 in (120, 200):
+            x = voice(32000, f0)
+            sp = np.sqrt(np.mean(x**2))
+            for snr, target in anchors.items():
+                y = x + noise * (sp / 10 ** (snr / 20))
+                got = pesq_nb(x, y, 8000)
+                assert abs(got - target) < 0.5, (f0, snr, got, target)

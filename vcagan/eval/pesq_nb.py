@@ -11,11 +11,24 @@ natively, following the published algorithm structure:
   P.862.1 MOS-LQO logistic map.
 
 Bark decomposition and the loudness law use the standard formulas
-(Zwicker & Fastl) rather than the ITU lookup tables, so absolute values
-can deviate from the ITU binary by a few hundredths of MOS; the score is
-calibrated so clean speech maps to ~4.5 and heavy distortion to ~1.0, and
-tests pin identity, monotonicity-in-SNR, and range.  For strict ITU-number
-parity install the ``pesq`` wheel and this module defers to it.
+(Zwicker & Fastl) rather than the ITU lookup tables, so this is an
+ESTIMATE of P.862.1 MOS-LQO, not the ITU number.  Measured calibration
+bound (tools/ and tests/test_pesq.py):
+
+- anchors: the published P.862-NB white-noise curve — MOS ~= 4.2 / 3.6 /
+  2.9 / 2.1 / 1.8 / 1.5 at SNR 40 / 30 / 20 / 10 / 5 / 0 dB — over two
+  synthetic harmonic voices (120 / 200 Hz f0).  The raw->disturbance
+  mapping below is least-squares fit to those 12 anchors with the
+  asymmetric-disturbance coefficient pinned to ITU's 0.0309.
+- residual on the anchors: mean |err| 0.22 MOS, max 0.44 MOS (the two
+  voices bracket the target curve by ~+/-0.25).
+- noise-color dependence: pink noise at the same global SNR scores up to
+  ~0.9 MOS above the white-noise curve (monotone in SNR in all cases).
+
+Treat scores as a RELATIVE metric (monotone in distortion, stable
+ordering); absolute parity with the ITU binary at the 0.5% level is NOT
+demonstrable with this estimator.  When the compiled ``pesq`` wheel is
+installed this module defers to it and reports true P.862.1 numbers.
 """
 
 from __future__ import annotations
@@ -216,8 +229,9 @@ def pesq_nb(
     d_total = two_stage(d_frame)
     da_total = two_stage(da_frame)
 
-    # coefficients calibrated on additive-noise curves (module docstring)
-    raw = 4.5 - 1.5 * d_total - 0.03 * da_total
+    # coefficients calibrated on the white-noise SNR anchors (module
+    # docstring); 0.0309 is ITU P.862's asymmetric-disturbance weight
+    raw = 4.5 - 0.4634 * d_total**0.8 - 0.0309 * da_total
     # P.862.1 raw -> MOS-LQO logistic map
     mos = 0.999 + 4.0 / (1.0 + np.exp(-1.4945 * raw + 4.6607))
     return float(np.clip(mos, 1.0, 4.64))

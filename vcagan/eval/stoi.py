@@ -28,16 +28,13 @@ _EPS = 1e-14
 
 @functools.lru_cache(maxsize=1)
 def _resample_filter() -> np.ndarray:
-    """FIR low-pass for 16k -> 10k polyphase resampling (up 5, down 8),
-    matching scipy.resample_poly's kaiser(5.0) design."""
-    from scipy.signal import firwin
-
+    """FIR low-pass for 16k -> 10k polyphase resampling (up 5, down 8)
+    using pystoi's exact Octave-compatible window (stoi_np
+    .resample_window_oct), normalized to unit DC gain then scaled by
+    ``up`` exactly as scipy.resample_poly does with an explicit window."""
     up, down = 5, 8
-    max_rate = max(up, down)
-    half_len = 10 * max_rate
-    cutoff = 1.0 / max_rate
-    taps = firwin(2 * half_len + 1, cutoff, window=("kaiser", 5.0))
-    return (taps * up).astype(np.float32)
+    h = ref.resample_window_oct(up, down)
+    return (h / np.sum(h) * up).astype(np.float32)
 
 
 def _resample_16k_to_10k(x: jax.Array) -> jax.Array:
@@ -62,8 +59,10 @@ def _resample_16k_to_10k(x: jax.Array) -> jax.Array:
 
 
 def _frame(x: jax.Array, n: int = ref.N_FRAME) -> jax.Array:
+    # pystoi framing: range(0, L - n, hop) — the frame starting exactly at
+    # L - n is EXCLUDED (stoi_np._frame_starts)
     hop = n // 2
-    m = 1 + (x.shape[-1] - n) // hop
+    m = len(ref._frame_starts(x.shape[-1]))
     idx = hop * np.arange(m)[:, None] + np.arange(n)[None, :]
     return x[:, idx]  # (B, M, N)
 
@@ -149,10 +148,13 @@ def stoi_batch(
     Xs = _segments(X)  # (B, S, 15, 30)
     Ys = _segments(Y)
     n_seg_slots = Xs.shape[1]
-    # segment s uses frames [s, s+30); valid iff s+30 <= kept-frame count
+    # c kept signal frames OLA to 256 + 128*(c-1) samples, which pystoi's
+    # exclusive framing turns into c-1 band frames; segment s uses band
+    # frames [s, s+30)
+    band_frames = counts - 1
     valid = (
         np.arange(n_seg_slots)[None, :] + ref.N_SEG
-        <= counts[:, None]
+        <= band_frames[:, None]
     )  # (B, S)
 
     if extended:
@@ -168,9 +170,9 @@ def stoi_batch(
         )
     else:
         c = 10.0 ** (-ref.BETA / 20.0)
-        alpha = jnp.sqrt(
-            jnp.sum(Xs**2, axis=-1, keepdims=True)
-            / (jnp.sum(Ys**2, axis=-1, keepdims=True) + _EPS)
+        # pystoi normalizes by the norm ratio with EPS on the denominator
+        alpha = jnp.linalg.norm(Xs, axis=-1, keepdims=True) / (
+            jnp.linalg.norm(Ys, axis=-1, keepdims=True) + _EPS
         )
         Yc = jnp.minimum(alpha * Ys, Xs * (1 + c))
         xm = Xs - jnp.mean(Xs, axis=-1, keepdims=True)
@@ -182,4 +184,5 @@ def stoi_batch(
         score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
             jnp.sum(valid, axis=1), 1
         )
-    return score
+    # pystoi returns 1e-5 when there are fewer than 30 band frames
+    return jnp.where(jnp.any(valid, axis=1), score, 1e-5)
