@@ -342,6 +342,47 @@ def convert_grid_asr(front_sd: Dict, back_sd: Dict):
     return {"params": params, "batch_stats": {"audio_front": stats_af}}
 
 
+def convert_lrw_asr(front_sd: Dict, back_sd: Dict):
+    """ASR_model/LRW Audio_front + Backend -> LRWClassifier tree.
+
+    Mirrors convert_grid_asr with the LRW topology deltas
+    (ASR_model/LRW/src/models/audio_front.py:11-25, classifier.py:4-24):
+    128/256-channel k3 frontend, plain-ReLU BasicBlock(256), Linear(256*20
+    -> 512) with the c-major flatten permutation, biGRU(512) x2, and the
+    mean-pooled Linear(1024 -> 500) head.
+    """
+    af = {
+        "conv1": {
+            "kernel": conv2d_swapped(front_sd["frontend.0.weight"]),
+            "bias": _t(front_sd["frontend.0.bias"]),
+        },
+        "conv2": {
+            "kernel": conv2d_swapped(front_sd["frontend.3.weight"]),
+            "bias": _t(front_sd["frontend.3.bias"]),
+        },
+        "act1": prelu(front_sd, "frontend.2"),
+        "act2": prelu(front_sd, "frontend.5"),
+    }
+    stats_af = {}
+    for torch_bn, ours in (("frontend.1", "bn1"), ("frontend.4", "bn2")):
+        bp, bs = bn(front_sd, torch_bn)
+        af[ours] = bp
+        stats_af[ours] = bs
+    p, s = basic_block(front_sd, "Res_block.0", swapped=True)
+    af["res"] = p
+    stats_af["res"] = s
+    proj = dense(front_sd, "Linear")
+    perm = _perm_cf_to_fc(256, 20)
+    af["proj"] = {"kernel": proj["kernel"][perm], "bias": proj["bias"]}
+
+    params = {
+        "audio_front": af,
+        "gru": gru(back_sd, "gru", layers=2),
+        "fc": dense(back_sd, "fc"),
+    }
+    return {"params": params, "batch_stats": {"audio_front": stats_af}}
+
+
 def convert_full_checkpoint(ckpt: Dict):
     """Reference 7-state_dict checkpoint -> (g_variables, d_variables)."""
     g = {

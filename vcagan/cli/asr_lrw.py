@@ -40,9 +40,24 @@ def main(argv=None):
 
     classes = load_class_list(args.class_list)
     if args.checkpoint:
-        import orbax.checkpoint as ocp
+        import os
 
-        variables = ocp.StandardCheckpointer().restore(args.checkpoint)
+        if os.path.isfile(args.checkpoint):
+            # the reference's torch checkpoint (ASR_model/LRW/test.py:56-58:
+            # dict of a_front_state_dict + a_back_state_dict) — convert in
+            # place so the published 98.46%-accuracy evaluator is usable
+            import torch
+
+            from tools.convert_torch_ckpt import convert_lrw_asr
+
+            ckpt = torch.load(args.checkpoint, map_location="cpu")
+            variables = convert_lrw_asr(
+                ckpt["a_front_state_dict"], ckpt["a_back_state_dict"]
+            )
+        else:
+            import orbax.checkpoint as ocp
+
+            variables = ocp.StandardCheckpointer().restore(args.checkpoint)
     else:
         model = LRWClassifier(num_classes=len(classes))
         mel = jnp.zeros((1, 80, LRW_MEL_FRAMES, 1))
