@@ -95,13 +95,12 @@ def main(argv=None):
 
     stois, estois, pesqs = [], [], []
     os.makedirs(args.out_dir, exist_ok=True)
-    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False)):
+    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False, drop_last=False)):
         if args.max_batches is not None and i >= args.max_batches:
             break
+        nv = int(raw.get("n_valid", args.batch_size))
         rng, k_pipe, k_noise, k_gl = jax.random.split(rng, 4)
-        batch = process(
-            raw["video_raw"], raw["wav"], raw["vid_len"], raw["mel_len"], k_pipe
-        )
+        batch = process(raw, k_pipe)
         g3, gs = eval_fn(
             state.g_params, state.batch_stats, batch.video, batch.vid_len, k_noise
         )
@@ -109,16 +108,20 @@ def main(argv=None):
         wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
         wav_gt = raw["wav"][:, : wav_pred.shape[1]]
 
-        stois.append(np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred))))
+        stois.append(
+            np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred)))[:nv]
+        )
         estois.append(
             np.asarray(
                 stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred), extended=True)
-            )
+            )[:nv]
         )
-        pesqs.append(np.asarray(pesq_batch(np.asarray(wav_gt), wav_pred, fs=16_000)))
+        pesqs.append(
+            np.asarray(pesq_batch(np.asarray(wav_gt), wav_pred, fs=16_000))[:nv]
+        )
 
         g3_np, gs_np = np.asarray(g3), np.asarray(gs)
-        for b in range(g3_np.shape[0]):
+        for b in range(nv):
             name = (
                 ds.source.name(i * args.batch_size + b)
                 if hasattr(ds.source, "name")

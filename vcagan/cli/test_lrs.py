@@ -99,31 +99,50 @@ def main(argv=None):
     out_base = os.path.join(args.out_dir, args.data_name)
     os.makedirs(out_base, exist_ok=True)
 
-    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False)):
+    hop = cfg.audio.hop_length
+    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False, drop_last=False)):
         if args.max_batches is not None and i >= args.max_batches:
             break
+        nv = int(raw.get("n_valid", args.batch_size))
         rng, k_pipe, k_noise, k_gl = jax.random.split(rng, 4)
-        batch = process(
-            raw["video_raw"], raw["centers"], raw["wav"],
-            raw["vid_len"], raw["mel_len"], k_pipe,
-        )
+        batch = process(raw, k_pipe)
         g3, gs = eval_fn(
             state.g_params, state.batch_stats, batch.video, batch.vid_len, k_noise
         )
+        # Per-sample length fidelity (reference test_LRS.py:160-165 vocodes
+        # gs[b,:,:,:mel_len[b]]): zero the padded spec frames so they add no
+        # energy to the batched Griffin-Lim, then trim per sample below —
+        # static shapes, no per-length recompile.
+        mel_len = jnp.asarray(raw["mel_len"])
         spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2))
+        frame_valid = jnp.arange(spec.shape[1])[None, :] < mel_len[:, None]
+        spec = jnp.where(frame_valid[:, :, None], spec, 0.0)
         wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
-        wav_gt = raw["wav"][:, : wav_pred.shape[1]]
+        wav_gt = np.asarray(raw["wav"])[:, : wav_pred.shape[1]].copy()
 
-        stois.append(np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred))))
+        # zero both signals past the true length: STOI's silent-frame
+        # removal then scores exactly the valid region
+        n_wav = np.minimum(
+            np.asarray(raw["mel_len"]) * hop, wav_pred.shape[1]
+        )
+        sample_valid = np.arange(wav_pred.shape[1])[None, :] < n_wav[:, None]
+        wav_pred_m = np.where(sample_valid, wav_pred, 0.0)
+        wav_gt = np.where(sample_valid, wav_gt, 0.0)
+
+        stois.append(
+            np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred_m)))[:nv]
+        )
         estois.append(
             np.asarray(
-                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred), extended=True)
-            )
+                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred_m), extended=True)
+            )[:nv]
         )
-        pesqs.append(np.asarray(pesq_batch(np.asarray(wav_gt), wav_pred, fs=16_000)))
+        pesqs.append(
+            np.asarray(pesq_batch(wav_gt, wav_pred_m, fs=16_000))[:nv]
+        )
 
         g3_np, gs_np = np.asarray(g3), np.asarray(gs)
-        for b in range(g3_np.shape[0]):
+        for b in range(nv):
             name = ds.source.name(i * args.batch_size + b)
             rel = name.replace("/", "_")
             mel_dir = os.path.join(out_base, "mel")
@@ -136,7 +155,10 @@ def main(argv=None):
                 mel=g3_np[b : b + 1, :, :n_mel],
                 spec=gs_np[b : b + 1, :, :n_mel],
             )
-            write_wav(os.path.join(wav_dir, f"{rel}.wav"), wav_pred[b])
+            # trimmed wav, like the reference's per-sample dump
+            write_wav(
+                os.path.join(wav_dir, f"{rel}.wav"), wav_pred[b, : int(n_wav[b])]
+            )
 
     stoi_m = float(np.nanmean(np.concatenate(stois))) if stois else 0.0
     estoi_m = float(np.nanmean(np.concatenate(estois))) if estois else 0.0
