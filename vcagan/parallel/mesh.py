@@ -59,11 +59,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
 
 # Parameters sharded along the model axis when model_parallel > 1:
-# (path-substring, axis to shard).  These are the widest matmuls in the
-# network; everything else is replicated.
+# (path-substring, axis to shard).  Only the attention projections are
+# column-sharded: their outputs are consumed head-dim-contracted (q) or
+# elementwise (mel residual), so GSPMD lowers them to one psum/all-gather
+# each.  The GRU's fused (in, 3H) projections are deliberately NOT sharded:
+# the per-gate jnp.split in the scan body cuts across a 3H shard boundary,
+# which forced involuntary full rematerialization in round 1's dryrun — and
+# a 512-wide sequential recurrence has no TP win to offer anyway (see the
+# tp=1 vs tp=2 measurement in tools/bench_tp.py).
 _MODEL_SHARDED = (
-    ("sentence_encoder", "w_i", 1),
-    ("sentence_encoder", "w_h", 1),
     ("att1/q", "kernel", 1),
     ("att2/q", "kernel", 1),
     ("att1/mel", "kernel", 1),
