@@ -35,6 +35,9 @@ import numpy as np  # noqa: E402
 
 
 def measure(model_parallel: int, steps: int = 5) -> float:
+    from vcagan.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
     from vcagan.configs import TrainConfig
     from vcagan.parallel import make_mesh, shard_batch, shard_state
     from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
@@ -68,7 +71,7 @@ def measure(model_parallel: int, steps: int = 5) -> float:
     with mesh:
         state = shard_state(state, mesh)
         sbatch = shard_batch(batch, mesh)
-        step = make_train_step(modules, mk(), mk(), cfg, donate=False)
+        step = make_train_step(modules, mk(), mk(), cfg, donate=False, mesh=mesh)
         state, m = step(state, sbatch, jax.random.PRNGKey(1))  # compile
         jax.block_until_ready(m)
         t0 = time.perf_counter()

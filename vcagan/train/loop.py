@@ -93,7 +93,7 @@ class Trainer:
                 config.audio, config.data, augment=False
             )
         self.train_step = make_train_step(
-            self.modules, self.g_tx, self.d_tx, tc, donate=True
+            self.modules, self.g_tx, self.d_tx, tc, donate=True, mesh=self.mesh
         )
         self.eval_step = make_eval_step(self.modules)
         self.rng = jax.random.PRNGKey(tc.seed)

@@ -80,6 +80,7 @@ def make_train_step(
     config: TrainConfig | None = None,
     donate: bool = True,
     sync_leak: bool = True,
+    mesh=None,
 ):
     """Build the jitted GAN train step.
 
@@ -89,8 +90,29 @@ def make_train_step(
     gradient leak into v_front (the ``retain_graph=True`` accumulation at
     reference train.py:210) — used by the differential regression test
     that pins the leak's effect on the G update.
+
+    ``mesh``: when training sharded, pass the (data, model) Mesh so the
+    generator-side outputs are pinned to batch-only sharding at the
+    generator/discriminator boundary.  Without the pin, GSPMD propagates
+    the attention kernels' model-axis sharding through g1-3/sent into the
+    discriminators and resolves the conflict with their replicated params
+    by involuntary full rematerialization in the D backward.  The pin
+    makes the attention all-gather happen once, where it belongs.
     """
     cfg = config or TrainConfig()
+
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _batch_only = NamedSharding(mesh, PartitionSpec("data"))
+
+        def _pin(x):
+            return jax.lax.with_sharding_constraint(x, _batch_only)
+
+    else:
+
+        def _pin(x):
+            return x
 
     def forward_gen_side(g_params, batch_stats, batch: Batch, rngs):
         """v_front + generator forward (train mode) with stats updates."""
@@ -114,6 +136,8 @@ def make_train_step(
             "v_front": vf_upd["batch_stats"],
             "gen": gen_upd["batch_stats"],
         }
+        phon, sent = _pin(phon), _pin(sent)
+        g1, g2, g3 = _pin(g1), _pin(g2), _pin(g3)
         return phon, sent, (g1, g2, g3), new_stats
 
     def disc_logits(d_params, name, mel_img, sent_sg):
