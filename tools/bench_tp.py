@@ -6,8 +6,14 @@ projections across the per-gate split.  The model axis is now restricted
 to the attention denses (vcagan/parallel/mesh.py); this tool records the
 step-time comparison that justifies dp-only as the default layout.
 
-Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+Run:  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4 \
       python tools/bench_tp.py
+
+4 virtual devices, not 8: XLA:CPU runs each virtual device's collectives
+on host threads, and on a small host an 8-device in-process AllReduce
+rendezvous can trip XLA's stuck-thread CHECK mid-step.  dp4 vs dp2xtp2
+answers the same question (does the model axis pay for itself?) at half
+the thread pressure.
 """
 
 from __future__ import annotations
@@ -26,7 +32,7 @@ if os.environ.get("JAX_PLATFORMS", "").startswith("cpu") or (
 ):
     try:
         jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", 8)
+        jax.config.update("jax_num_cpu_devices", 4)
     except Exception:
         pass
 
@@ -43,7 +49,7 @@ def measure(model_parallel: int, steps: int = 5) -> float:
     from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
     from vcagan.train.state import make_optimizer
 
-    devices = jax.devices()[:8]
+    devices = jax.devices()[:4]
     mesh = make_mesh(model_parallel=model_parallel, devices=devices)
 
     modules = VCAGANModules.create()
@@ -53,7 +59,7 @@ def measure(model_parallel: int, steps: int = 5) -> float:
     )
     state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 10)
 
-    frames, image, b = 20, 48, 8
+    frames, image, b = 20, 48, 4
     rng = np.random.default_rng(0)
     batch = Batch(
         video=jnp.asarray(
@@ -88,8 +94,8 @@ def main():
         json.dumps(
             {
                 "metric": "train_step_seconds_cpu_mesh",
-                "dp8": round(t_dp, 4),
-                "dp4_tp2": round(t_tp, 4),
+                "dp4": round(t_dp, 4),
+                "dp2_tp2": round(t_tp, 4),
                 "tp2_overhead_x": round(t_tp / t_dp, 3),
                 "default": "dp-only (model axis reserved for larger model families)",
             }

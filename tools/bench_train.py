@@ -18,8 +18,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 16
-WINDOW = 40
+import argparse
+_p = argparse.ArgumentParser()
+_p.add_argument("--batch", type=int, default=16)
+_p.add_argument("--window", type=int, default=40)
+_p.add_argument("--bf16", action="store_true")
+_args, _ = _p.parse_known_args()
+BATCH = _args.batch
+WINDOW = _args.window
 
 
 def main():
@@ -31,7 +37,9 @@ def main():
     from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
     from vcagan.train.state import make_optimizer
 
-    modules = VCAGANModules.create()
+    from vcagan.configs import ModelConfig
+
+    modules = VCAGANModules.create(ModelConfig(use_bfloat16=_args.bf16))
     cfg = TrainConfig()
     g_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
                           cfg.lr_milestones, cfg.lr_gamma, 100)

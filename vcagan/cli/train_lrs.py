@@ -44,6 +44,9 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set before device use")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 compute in conv/matmul-heavy modules "
+                        "(params and losses stay fp32; ~25%% more clips/s)")
     return p.parse_args(argv)
 
 
@@ -68,6 +71,7 @@ def build_config(args):
             "train.workers": args.workers,
             "train.checkpoint_dir": args.checkpoint_dir,
             "model.sync_temp": args.temp,
+            "model.use_bfloat16": args.bf16,
             "mesh.model_parallel": args.model_parallel,
         },
     )
