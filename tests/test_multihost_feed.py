@@ -40,7 +40,9 @@ def test_two_process_input_feeding():
         )
         for i in range(2)
     ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    # generous: two fresh jax processes compile the pipeline concurrently
+    # on a possibly single-core CI host under full-suite load
+    outs = [p.communicate(timeout=600)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
 
