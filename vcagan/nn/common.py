@@ -52,3 +52,81 @@ def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
         epsilon=1e-5,
         name=name,
     )
+
+
+def s2d_stem_conv3d(
+    video: jax.Array, kernel: jax.Array, dtype=jnp.float32
+) -> jax.Array:
+    """The visual stem conv (k(5,7,7) s(1,2,2), C_in=1) as a space-to-depth
+    conv — numerically EXACT, but MXU-friendly.
+
+    A single-input-channel stride-2 conv is the worst case for the TPU conv
+    emitter (input features packed one-per-sublane; the profile showed the
+    stem's forward+weight-grad at ~24 ms/step of a 149 ms train step).
+    Rearranging 2x2 spatial blocks into 4 channels turns it into a
+    stride-1, C_in=4 conv over a 56x56 grid computing the identical sum:
+
+      out[t,i,j] = sum_{dt,di,dj} V[t+dt-2, 2i+di-3, 2j+dj-3] K[dt,di,dj]
+                 = sum_{dt,dp,dq,a,b} V2[t+dt-2, i-2+dp, j-2+dq, 2a+b]
+                                      K'[dt, 2dp+a, 2dq+b]
+
+    with V2 the 2x2 space-to-depth of V, and K' the kernel zero-padded by
+    one leading tap in H and W (di = 2dp+a-1 maps [0,7) onto the 8-slot
+    grid).  The kernel parameter keeps its reference shape (5,7,7,1,C) so
+    checkpoints and the torch converter are untouched.
+
+    Reference: src/models/visual_front.py:10-12.
+    """
+    b, t, h, w, cin = video.shape
+    cout = kernel.shape[-1]
+    assert cin == 1 and kernel.shape[:4] == (5, 7, 7, 1), (
+        "s2d stem is specialized to the reference stem geometry"
+    )
+    if h % 2 or w % 2:  # odd spatial dims: fall back to the plain conv
+        return jax.lax.conv_general_dilated(
+            video.astype(dtype),
+            kernel.astype(dtype),
+            (1, 2, 2),
+            ((2, 2), (3, 3), (3, 3)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )
+    v2 = video.reshape(b, t, h // 2, 2, w // 2, 2)
+    v2 = v2.transpose(0, 1, 2, 4, 3, 5).reshape(b, t, h // 2, w // 2, 4)
+    kp = jnp.pad(kernel, ((0, 0), (1, 0), (1, 0), (0, 0), (0, 0)))
+    k2 = kp.reshape(5, 4, 2, 4, 2, cout)
+    k2 = k2.transpose(0, 1, 3, 2, 4, 5).reshape(5, 4, 4, 4, cout)
+    return jax.lax.conv_general_dilated(
+        v2.astype(dtype),
+        k2.astype(dtype),
+        (1, 1, 1),
+        ((2, 2), (2, 1), (2, 1)),
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def max_pool_3x3s2(x: jax.Array) -> jax.Array:
+    """3x3 stride-2 pad-1 max pool over the H,W axes of (B, T, H, W, C),
+    as an elementwise max over the 9 strided window taps.
+
+    Forward-identical to nn.max_pool (pad identity -inf).  The win is the
+    BACKWARD: reduce_window's gradient lowers to select_and_scatter
+    (~7.6 ms/step in the profile); a max chain of strided slices
+    back-propagates through cheap selects + zero-pads instead.  Gradient
+    tie-breaking differs from select_and_scatter only on exact float ties
+    (measure zero after BN+PReLU; torch itself routes ties arbitrarily).
+    """
+    b, t, h, w, c = x.shape
+    ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
+    neg = jnp.asarray(-jnp.inf, x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
+    out = None
+    for di in range(3):
+        for dj in range(3):
+            tap = jax.lax.slice(
+                xp,
+                (0, 0, di, dj, 0),
+                (b, t, di + 2 * ho - 1, dj + 2 * wo - 1, c),
+                (1, 1, 2, 2, 1),
+            )
+            out = tap if out is None else jnp.maximum(out, tap)
+    return out

@@ -19,9 +19,34 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vcagan.nn.common import PReLU, batch_norm
+from vcagan.nn.common import (
+    PReLU,
+    batch_norm,
+    max_pool_3x3s2,
+    s2d_stem_conv3d,
+)
 from vcagan.nn.gru import BiGRU
 from vcagan.nn.resnet import ResNetTrunk
+
+
+class StemConv(nn.Module):
+    """The reference's k(5,7,7) s(1,2,2) C_in=1 stem conv, computed via the
+    exact space-to-depth rewrite (see common.s2d_stem_conv3d).  Parameter
+    tree (``stem_conv/kernel``, shape (5,7,7,1,C)) and initialization are
+    identical to the nn.Conv it replaces, so checkpoints and the torch
+    converter are unaffected."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (5, 7, 7, 1, self.features),
+        )
+        return s2d_stem_conv3d(video, kernel, self.dtype)
 
 
 class VisualFront(nn.Module):
@@ -42,17 +67,15 @@ class VisualFront(nn.Module):
 
         # 3D stem: k(5,7,7) s(1,2,2) + BN + PReLU + maxpool (1,3,3)/(1,2,2)
         # (reference visual_front.py:10-15): 112 -> 56 -> 28.
-        x = nn.Conv(
-            self.stem_channels,
-            (5, 7, 7),
-            strides=(1, 2, 2),
-            padding=((2, 2), (3, 3), (3, 3)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="stem_conv",
-        )(video)
+        x = StemConv(self.stem_channels, dtype=self.dtype, name="stem_conv")(video)
         x = batch_norm(train, "stem_bn")(x)
         x = PReLU(self.stem_channels, name="stem_act")(x)
+        # NOTE: a slice-max pool (common.max_pool_3x3s2) was tried here to
+        # avoid select_and_scatter in the backward (~7.6 ms/step), but its
+        # backward materializes several (B,T,58,58,64) zero-padded grad
+        # accumulators at 2x layout padding (~1 GB each at the GRID train
+        # shape) and OOMs hbm; reduce_window's select_and_scatter is the
+        # better memory/time trade on v5e.
         x = nn.max_pool(
             x,
             window_shape=(1, 3, 3),
