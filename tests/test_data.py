@@ -102,3 +102,38 @@ class TestSyntheticEndToEnd:
         raw = next(ds.epoch(batch_size=2, shuffle=False))
         assert raw["video_raw"].shape[1] == 75
         assert (raw["vid_len"] == 75).all()
+
+
+class TestEpochSlicing:
+    def test_tail_n_valid_is_per_slice(self):
+        """drop_last=False + process_slice: n_valid must count the LOCAL
+        slice's real clips, not the global remainder — a host whose slice
+        holds only wrap-padding must report 0 so [:n_valid] trimming never
+        scores padded duplicates."""
+        from vcagan.configs import AudioConfig, DataConfig
+        from vcagan.data.grid import GridDataset
+        from vcagan.data.synthetic import SyntheticLipSpeech
+
+        def build():
+            return GridDataset(
+                SyntheticLipSpeech(num_clips=6, video_frames=30),
+                AudioConfig(),
+                DataConfig(window_size=20),
+                mode="train",
+                seed=3,
+            )
+
+        # global batch 4 over 6 clips -> tail remainder 2
+        tails = []
+        for sl in (slice(0, 2), slice(2, 4)):
+            batches = list(build().epoch(4, drop_last=False, process_slice=sl))
+            tails.append(batches[-1])
+        assert int(tails[0]["n_valid"]) == 2  # positions 0,1 are real
+        assert int(tails[1]["n_valid"]) == 0  # positions 2,3 are padding
+        # single-process tail keeps the global remainder
+        full = list(build().epoch(4, drop_last=False))[-1]
+        assert int(full["n_valid"]) == 2
+        # and the assembled slices equal the single-process tail batch
+        np.testing.assert_array_equal(
+            np.concatenate([tails[0]["wav"], tails[1]["wav"]]), full["wav"]
+        )

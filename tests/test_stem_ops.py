@@ -1,21 +1,17 @@
-"""Exactness of the space-to-depth stem conv and the slice-max pool.
+"""Exactness of the space-to-depth stem conv.
 
 s2d_stem_conv3d must equal the plain lax conv it replaces (same kernel
 tensor) to float-reassociation noise, for the shapes the model actually
 sees (112^2 GRID crops, 80^2 LRS crops, 48^2 test fixtures) and its
 gradients must match too — it is an exact rewrite, not an approximation.
-max_pool_3x3s2 is kept (documented-rejected for the stem on memory
-grounds, see visual_front.py) and must stay forward- and grad-identical
-to nn.max_pool.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from flax import linen as nn
 
-from vcagan.nn.common import max_pool_3x3s2, s2d_stem_conv3d
+from vcagan.nn.common import s2d_stem_conv3d
 
 
 def _plain_stem(video, kernel):
@@ -53,33 +49,4 @@ class TestS2DStem:
         k = jnp.asarray(rng.standard_normal((5, 7, 7, 1, 4)) * 0.05, jnp.float32)
         np.testing.assert_allclose(
             s2d_stem_conv3d(v, k), _plain_stem(v, k), atol=2e-5
-        )
-
-
-class TestSliceMaxPool:
-    @pytest.mark.parametrize("hw", [24, 28, 56])
-    def test_matches_nn_max_pool(self, hw):
-        x = jnp.asarray(
-            np.random.default_rng(3).standard_normal((2, 3, hw, hw, 4)), jnp.float32
-        )
-        ref = nn.max_pool(
-            x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1))
-        )
-        got = max_pool_3x3s2(x)
-        assert got.shape == ref.shape
-        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
-
-    def test_gradient_matches_reduce_window(self):
-        x = jnp.asarray(
-            np.random.default_rng(4).standard_normal((2, 3, 24, 24, 4)), jnp.float32
-        )
-        f_ref = lambda x: jnp.sum(  # noqa: E731
-            nn.max_pool(
-                x, (1, 3, 3), strides=(1, 2, 2), padding=((0, 0), (1, 1), (1, 1))
-            )
-            ** 2
-        )
-        f_got = lambda x: jnp.sum(max_pool_3x3s2(x) ** 2)  # noqa: E731
-        np.testing.assert_array_equal(
-            np.asarray(jax.grad(f_ref)(x)), np.asarray(jax.grad(f_got)(x))
         )

@@ -26,9 +26,15 @@ def condition_clip(audio: np.ndarray, preemph: float = 0.97) -> np.ndarray:
     Identical ops (including scipy lfilter) to reference
     vid_aud_grid.py:142-144 / vid_aud_lrs2.py:152-154.
     """
-    peak = float(np.abs(audio).max())
-    aud = audio / max(peak, 1e-8) * 0.9
-    aud = lfilter([1.0, -preemph], [1.0], aud)
+    return preemphasize_clamp(peak_normalize_clip(audio), preemph)
+
+
+def preemphasize_clamp(normed: np.ndarray, preemph: float = 0.97) -> np.ndarray:
+    """The pre-emphasis + clamp tail of the conditioning chain, on an
+    already peak-normalized clip (the LRS datasets keep the normalized
+    waveform as the metric ground truth, so they run the two halves
+    separately — vid_aud_lrs2.py:152-154)."""
+    aud = lfilter([1.0, -preemph], [1.0], normed)
     return np.clip(aud, -1.0, 1.0).astype(np.float32)
 
 

@@ -200,7 +200,12 @@ class GridDataset:
             idxs = np.concatenate(
                 [order[n - rem :], np.resize(order, batch_size - rem)]
             )
-            yield self._collate(idxs[sl], n_valid=rem, starts_u=_starts_u())
+            # n_valid counts the LOCAL slice's real (non-wrap-padded)
+            # clips: real items occupy global positions [0, rem), so a
+            # host whose slice holds only padding must report 0, not the
+            # global remainder.
+            local_valid = int((np.arange(batch_size)[sl] < rem).sum())
+            yield self._collate(idxs[sl], n_valid=local_valid, starts_u=_starts_u())
 
     def _collate(
         self,

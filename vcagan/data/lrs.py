@@ -25,7 +25,6 @@ from typing import Dict, Iterator, List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from scipy.signal import lfilter
 
 from vcagan.configs import AudioConfig, DataConfig
 from vcagan.data import audio_host
@@ -237,9 +236,7 @@ class LRSDataset:
         """Decode + full-clip conditioning (the parallelizable part)."""
         video, audio, coords = self.source.clip(int(idx))
         normed = audio_host.peak_normalize_clip(audio)
-        cond = np.clip(
-            lfilter([1.0, -self.audio.preemphasis], [1.0], normed), -1.0, 1.0
-        ).astype(np.float32)
+        cond = audio_host.preemphasize_clamp(normed, self.audio.preemphasis)
         return video, audio, coords, normed, cond
 
     def _fetch_all(self, idxs):
@@ -294,7 +291,9 @@ class LRSDataset:
             idxs = np.concatenate(
                 [order[n - rem :], np.resize(order, batch_size - rem)]
             )
-            yield self._collate(idxs[sl], n_valid=rem, starts_u=_starts_u())
+            # local slice's real-clip count (see GridDataset.epoch)
+            local_valid = int((np.arange(batch_size)[sl] < rem).sum())
+            yield self._collate(idxs[sl], n_valid=local_valid, starts_u=_starts_u())
 
     def _collate(
         self,

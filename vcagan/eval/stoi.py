@@ -23,7 +23,13 @@ import numpy as np
 
 from vcagan.eval import stoi_np as ref
 
-_EPS = 1e-14
+# pystoi uses machine epsilon (stoi_np.EPS == np.finfo(float64).eps); keep
+# the same constant here so the silent-frame 40 dB threshold and the
+# normalization denominators agree with the oracle on near-silent frames.
+# (Computation is f32 on device, where adding 2.2e-16 is a no-op guard for
+# any representable nonzero norm — the value only decides degenerate
+# all-zero cases, identically to pystoi.)
+_EPS = float(np.finfo(np.float64).eps)
 
 
 @functools.lru_cache(maxsize=1)

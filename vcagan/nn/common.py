@@ -102,31 +102,3 @@ def s2d_stem_conv3d(
         ((2, 2), (2, 1), (2, 1)),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
     )
-
-
-def max_pool_3x3s2(x: jax.Array) -> jax.Array:
-    """3x3 stride-2 pad-1 max pool over the H,W axes of (B, T, H, W, C),
-    as an elementwise max over the 9 strided window taps.
-
-    Forward-identical to nn.max_pool (pad identity -inf).  The win is the
-    BACKWARD: reduce_window's gradient lowers to select_and_scatter
-    (~7.6 ms/step in the profile); a max chain of strided slices
-    back-propagates through cheap selects + zero-pads instead.  Gradient
-    tie-breaking differs from select_and_scatter only on exact float ties
-    (measure zero after BN+PReLU; torch itself routes ties arbitrarily).
-    """
-    b, t, h, w, c = x.shape
-    ho, wo = (h - 1) // 2 + 1, (w - 1) // 2 + 1
-    neg = jnp.asarray(-jnp.inf, x.dtype)
-    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (0, 0)), constant_values=neg)
-    out = None
-    for di in range(3):
-        for dj in range(3):
-            tap = jax.lax.slice(
-                xp,
-                (0, 0, di, dj, 0),
-                (b, t, di + 2 * ho - 1, dj + 2 * wo - 1, c),
-                (1, 1, 2, 2, 1),
-            )
-            out = tap if out is None else jnp.maximum(out, tap)
-    return out

@@ -19,12 +19,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vcagan.nn.common import (
-    PReLU,
-    batch_norm,
-    max_pool_3x3s2,
-    s2d_stem_conv3d,
-)
+from vcagan.nn.common import PReLU, batch_norm, s2d_stem_conv3d
 from vcagan.nn.gru import BiGRU
 from vcagan.nn.resnet import ResNetTrunk
 
@@ -70,12 +65,13 @@ class VisualFront(nn.Module):
         x = StemConv(self.stem_channels, dtype=self.dtype, name="stem_conv")(video)
         x = batch_norm(train, "stem_bn")(x)
         x = PReLU(self.stem_channels, name="stem_act")(x)
-        # NOTE: a slice-max pool (common.max_pool_3x3s2) was tried here to
-        # avoid select_and_scatter in the backward (~7.6 ms/step), but its
-        # backward materializes several (B,T,58,58,64) zero-padded grad
-        # accumulators at 2x layout padding (~1 GB each at the GRID train
-        # shape) and OOMs hbm; reduce_window's select_and_scatter is the
-        # better memory/time trade on v5e.
+        # NOTE: rewriting this pool as an elementwise max over the 9
+        # strided window taps (to avoid select_and_scatter in the backward,
+        # ~7.6 ms/step) was measured and REJECTED: that backward
+        # materializes several (B,T,58,58,64) zero-padded grad accumulators
+        # at 2x layout padding (~1 GB each at the GRID train shape) and
+        # OOMs hbm; reduce_window's select_and_scatter is the better
+        # memory/time trade on v5e.
         x = nn.max_pool(
             x,
             window_shape=(1, 3, 3),

@@ -210,6 +210,10 @@ class Trainer:
         sh = batch_sharding(self.mesh)
         out = {}
         for k, v in raw.items():
+            if k == "wav":
+                # metric ground truth; the train pipeline never reads it
+                # and globalize() is an eager H2D transfer per step
+                continue
             v = np.asarray(v)
             out[k] = globalize(v, sh) if v.ndim > 0 else v
         return out
