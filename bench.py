@@ -22,7 +22,9 @@ import numpy as np
 
 TORCH_CPU_BASELINE = 151.9  # mel-frames/sec; tools/measure_torch_baseline.py
 
-BATCH = 32  # throughput sweet spot on v5e (16: 37.7k, 32: 40.7k, 64: 35.1k)
+BATCH = 32  # v5e throughput sweet spot (batch sweep in round 1; the
+# absolute numbers have since moved — s2d stem conv took the headline
+# from ~70k to ~85k mel-frames/s — but the 16/32/64 ordering held)
 FRAMES = 75
 MEL_FRAMES = 4 * FRAMES
 
