@@ -90,6 +90,44 @@ class TestGridResolution:
         assert all("/s1/" in f or f.split(os.sep)[-3] == "s1" for f in s1)
 
 
+class TestLRWClassList:
+    """The LRW 500-word vocabulary ships with the repo (reference:
+    ASR_model/LRW/data/class.txt, consumed by ASR_model/LRW/test.py) so the
+    CLI default ``--class_list ./data/class.txt`` works on a fresh checkout."""
+
+    def test_class_list_ships_with_500_words(self):
+        from vcagan.eval.asr_lrw import load_class_list
+
+        classes = load_class_list(os.path.join(REPO_DATA, "class.txt"))
+        assert len(classes) == 500
+        assert classes[0] == "ABOUT"
+        assert classes[-1] == "YOUNG"
+        assert len(set(classes)) == 500
+
+    def test_cli_reaches_scoring_with_vendored_list(self, tmp_path, capsys):
+        """asr_lrw CLI end to end: vendored vocabulary + synthetic npz dump
+        -> a printed accuracy line (random weights, so only finiteness)."""
+        import numpy as np
+
+        from vcagan.cli.asr_lrw import main
+
+        fix = tmp_path / "ABOUT" / "test"
+        fix.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        mel = np.clip(rng.standard_normal((1, 80, 116)), -1, 1).astype(np.float32)
+        np.savez(fix / "ABOUT_00001.npz", mel=mel)
+
+        main(
+            [
+                "--data", str(tmp_path),
+                "--class_list", os.path.join(REPO_DATA, "class.txt"),
+                "--batch_size", "2",
+            ]
+        )
+        out = capsys.readouterr().out
+        assert "test_ACC:" in out
+
+
 class TestLRS3Resolution:
     def test_crop_join(self, tmp_path):
         """LRS3 file lists join the vendored splits against crop tables."""

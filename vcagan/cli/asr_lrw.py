@@ -29,8 +29,6 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
     if args.platform:
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
 
     import jax.numpy as jnp
@@ -50,7 +48,7 @@ def main(argv=None):
 
             from tools.convert_torch_ckpt import convert_lrw_asr
 
-            ckpt = torch.load(args.checkpoint, map_location="cpu")
+            ckpt = torch.load(args.checkpoint, map_location="cpu", weights_only=True)
             variables = convert_lrw_asr(
                 ckpt["a_front_state_dict"], ckpt["a_back_state_dict"]
             )
