@@ -98,3 +98,39 @@ class TestJaxParity:
         xs = np.stack([speechlike(16000, s) for s in range(2)])
         got = np.asarray(stoi_batch(jnp.asarray(xs), jnp.asarray(xs)))
         assert (got > 0.98).all()
+
+    @pytest.mark.parametrize("extended", [False, True])
+    def test_lengths_match_trimmed_oracle(self, extended):
+        """Variable-length batch: zero-padded signals + ``lengths`` must
+        score exactly like the oracle on the TRIMMED signals — including
+        the boundary frame at true_len-256 that pystoi's exclusive framing
+        drops (the LRS eval-driver deviation the lengths arg eliminates)."""
+        max_len = 24000
+        # full-length, frame-aligned, and non-aligned true lengths
+        true_lens = np.array([24000, 16640, 12345])
+        xs = np.zeros((3, max_len), np.float32)
+        ys = np.zeros((3, max_len), np.float32)
+        rng = np.random.default_rng(11)
+        for i, l in enumerate(true_lens):
+            x = speechlike(int(l), i + 20)
+            xs[i, :l] = x
+            ys[i, :l] = x + 0.3 * rng.standard_normal(int(l)).astype(
+                np.float32
+            ) * x.std()
+
+        got = np.asarray(
+            stoi_batch(
+                jnp.asarray(xs),
+                jnp.asarray(ys),
+                extended=extended,
+                lengths=jnp.asarray(true_lens),
+            )
+        )
+        oracle = estoi_np if extended else stoi_np
+        want = np.asarray(
+            [
+                oracle(xs[i, : true_lens[i]], ys[i, : true_lens[i]], fs=16000)
+                for i in range(3)
+            ]
+        )
+        np.testing.assert_allclose(got, want, atol=1e-3)

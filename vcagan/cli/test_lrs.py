@@ -120,21 +120,28 @@ def main(argv=None):
         wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
         wav_gt = np.asarray(raw["wav"])[:, : wav_pred.shape[1]].copy()
 
-        # zero both signals past the true length: STOI's silent-frame
-        # removal then scores exactly the valid region
+        # zero both signals past the true length and hand stoi_batch the
+        # per-sample lengths: silent-frame removal plus exclusive framing
+        # at the true length then score exactly pystoi's valid region
         n_wav = np.minimum(
             np.asarray(raw["mel_len"]) * hop, wav_pred.shape[1]
         )
         sample_valid = np.arange(wav_pred.shape[1])[None, :] < n_wav[:, None]
         wav_pred_m = np.where(sample_valid, wav_pred, 0.0)
         wav_gt = np.where(sample_valid, wav_gt, 0.0)
+        lens = jnp.asarray(n_wav)
 
         stois.append(
-            np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred_m)))[:nv]
+            np.asarray(
+                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred_m), lengths=lens)
+            )[:nv]
         )
         estois.append(
             np.asarray(
-                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred_m), extended=True)
+                stoi_batch(
+                    jnp.asarray(wav_gt), jnp.asarray(wav_pred_m),
+                    extended=True, lengths=lens,
+                )
             )[:nv]
         )
         pesqs.append(

@@ -67,6 +67,13 @@ def stft_segment(
     AND true-edge frames exact; samples past the clip end are zero — they
     only back frames beyond the clip's real frame count, which the device
     pipeline masks to the reference pad value anyway.
+
+    Known deviation: clips shorter than n_fft//2 + 1 samples are zero-padded
+    to pad+1 BEFORE reflecting, so the reflection wraps around padded zeros
+    rather than the true clip edge.  Only sub-321-sample (20 ms) clips hit
+    this — the same degenerate inputs the reference swaps for an all-zero
+    guard clip anyway (vid_aud_grid.py:137-139), so the deviation is
+    unobservable in practice.
     """
     pad = n_fft // 2
     if cond.shape[0] < pad + 1:  # reflect needs len > pad (degenerate clips)

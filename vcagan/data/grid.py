@@ -134,6 +134,20 @@ class GridDataset:
 
             self._pool = ThreadPoolExecutor(max_workers=workers)
 
+    def close(self) -> None:
+        """Shut down the decode worker pool (idempotent).  Long-lived
+        callers (Trainer) cache datasets instead of rebuilding them per
+        validation, but anything ephemeral should close explicitly."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort backstop for ephemeral datasets
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _fetch(self, idx: int):
         """Decode + full-clip conditioning for one clip (the parallelizable
         part; window sampling stays on the epoch thread so rng draws are

@@ -232,6 +232,18 @@ class LRSDataset:
 
             self._pool = ThreadPoolExecutor(max_workers=workers)
 
+    def close(self) -> None:
+        """Shut down the decode worker pool (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False, cancel_futures=True)
+            self._pool = None
+
+    def __del__(self):  # best-effort backstop for ephemeral datasets
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _fetch(self, idx: int):
         """Decode + full-clip conditioning (the parallelizable part)."""
         video, audio, coords = self.source.clip(int(idx))

@@ -89,12 +89,18 @@ def _overlap_add_50(frames: jax.Array) -> jax.Array:
     return total.reshape(b, -1)
 
 
-def _compact_silent_frames(xf, yf, win):
+def _compact_silent_frames(xf, yf, win, frame_ok=None):
     """Keep frames where clean energy is within 40 dB of the max; compact
-    kept frames to the front.  Returns (xk, yk, counts)."""
+    kept frames to the front.  Returns (xk, yk, counts).
+
+    ``frame_ok`` (B, M) bool, optional: frames outside a sample's true
+    length are forced out BEFORE the energy max, reproducing pystoi's
+    exclusive framing of the trimmed signal."""
     energy_db = 20.0 * jnp.log10(
         jnp.linalg.norm(xf * win, axis=-1) + _EPS
     )  # (B, M)
+    if frame_ok is not None:
+        energy_db = jnp.where(frame_ok, energy_db, -jnp.inf)
     keep = energy_db > (
         jnp.max(energy_db, axis=-1, keepdims=True) - ref.DYN_RANGE
     )
@@ -130,8 +136,18 @@ def stoi_batch(
     degraded: jax.Array,
     extended: bool = False,
     input_rate: int = 16_000,
+    lengths: jax.Array | None = None,
 ) -> jax.Array:
-    """Batched (E)STOI: (B, L), (B, L) waveforms -> (B,) scores."""
+    """Batched (E)STOI: (B, L), (B, L) waveforms -> (B,) scores.
+
+    ``lengths`` (B,) int, optional: per-sample TRUE lengths in input-rate
+    samples for zero-padded variable-length batches.  With it, frames whose
+    start falls at or beyond ``true_len - 256`` (at 10 kHz) are excluded
+    exactly like pystoi's ``range(0, len(x) - 256, 128)`` framing of the
+    trimmed signal — without it, padded samples include one extra boundary
+    frame (a tiny deviation, acceptable for fixed-length batches where
+    padding is absent anyway).
+    """
     assert input_rate in (16_000, 10_000)
     x = clean.astype(jnp.float32)
     y = degraded.astype(jnp.float32)
@@ -144,7 +160,15 @@ def stoi_batch(
 
     xf = _frame(x)
     yf = _frame(y)
-    xk, yk, counts = _compact_silent_frames(xf, yf, win)
+    frame_ok = None
+    if lengths is not None:
+        l10 = lengths if input_rate == 10_000 else -(-lengths * 5 // 8)
+        hop = ref.N_FRAME // 2
+        m_valid = jnp.where(
+            l10 > ref.N_FRAME, (l10 - ref.N_FRAME + hop - 1) // hop, 0
+        )
+        frame_ok = jnp.arange(xf.shape[1])[None, :] < m_valid[:, None]
+    xk, yk, counts = _compact_silent_frames(xf, yf, win, frame_ok)
     x_rec = _overlap_add_50(xk)
     y_rec = _overlap_add_50(yk)
 
