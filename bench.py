@@ -64,7 +64,9 @@ def build():
             g3,
             train=False,
         )
-        spec = jnp.maximum(jnp.swapaxes(gs, 1, 2), 0.0)  # (B, T, 321)
+        # raw postnet output, unclamped, like the reference test path
+        # (test.py:143) and vcagan.cli.test
+        spec = jnp.swapaxes(gs, 1, 2)  # (B, T, 321)
         wav = pipe.inverse_spec(spec, rng)
         return wav
 

@@ -104,7 +104,11 @@ def main(argv=None):
         g3, gs = eval_fn(
             state.g_params, state.batch_stats, batch.video, batch.vid_len, k_noise
         )
-        spec = jnp.maximum(jnp.swapaxes(gs, 1, 2), 0.0)
+        # vocode the raw postnet output sliced to the first sample's valid
+        # frames, exactly like the reference (test.py:143 vocodes
+        # gs[:, :, :, :mel_len[0]] unclamped)
+        ml0 = int(np.asarray(raw["mel_len"])[0])
+        spec = jnp.swapaxes(gs, 1, 2)[:, :ml0]
         wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
         wav_gt = raw["wav"][:, : wav_pred.shape[1]]
 

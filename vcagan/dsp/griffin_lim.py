@@ -39,6 +39,7 @@ def griffin_lim(
     params: STFTParams,
     n_iters: int = 60,
     unroll: int = 5,
+    init_phase: jax.Array | None = None,
 ) -> jax.Array:
     """Reconstruct waveforms from linear-magnitude spectrograms.
 
@@ -48,10 +49,18 @@ def griffin_lim(
     Semantics match the reference: random uniform phase init, then
     ``n_iters`` rounds of phase re-estimation, final synthesis with the
     original magnitudes throughout.
+
+    ``init_phase`` (B, T, n_bins) overrides the random phase draw — the
+    torch-parity harness injects the reference's seeded ``np.random``
+    angles (reference: audio_processing.py:59) to compare waveforms
+    deterministically.
     """
-    angles = jax.random.uniform(
-        key, magnitudes.shape, magnitudes.dtype, minval=-jnp.pi, maxval=jnp.pi
-    )
+    if init_phase is None:
+        angles = jax.random.uniform(
+            key, magnitudes.shape, magnitudes.dtype, minval=-jnp.pi, maxval=jnp.pi
+        )
+    else:
+        angles = init_phase.astype(magnitudes.dtype)
     phasor = (jnp.cos(angles), jnp.sin(angles))
 
     def one_round(phasor, _):
@@ -101,6 +110,7 @@ def griffin_lim_mxu(
     n_iters: int = 60,
     unroll: int = 5,
     compute_dtype=jnp.bfloat16,
+    init_phase: jax.Array | None = None,
 ) -> jax.Array:
     """Griffin-Lim with the DFT expressed as windowed-basis matmuls.
 
@@ -154,9 +164,12 @@ def griffin_lim_mxu(
         )
         return z_re, z_im
 
-    angles = jax.random.uniform(
-        key, magnitudes.shape, jnp.float32, minval=-jnp.pi, maxval=jnp.pi
-    )
+    if init_phase is None:
+        angles = jax.random.uniform(
+            key, magnitudes.shape, jnp.float32, minval=-jnp.pi, maxval=jnp.pi
+        )
+    else:
+        angles = init_phase.astype(jnp.float32)
     phasor = (jnp.cos(angles), jnp.sin(angles))
 
     def one_round(phasor, _):

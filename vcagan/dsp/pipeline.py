@@ -72,23 +72,30 @@ class MelPipeline:
         spec = mel @ jnp.asarray(self.mel_basis, mel.dtype)  # (B, T, n_linear)
         return spec * self.config.mel_inversion_scale
 
-    def inverse_mel(self, mel_norm: jax.Array, key: jax.Array) -> jax.Array:
+    def inverse_mel(
+        self, mel_norm: jax.Array, key: jax.Array, init_phase: jax.Array | None = None
+    ) -> jax.Array:
         """Normalized log-mel (B, T, n_mels) -> waveform (B, L), clipped.
 
         Griffin-Lim (60 iters) + de-emphasis, entirely on-device
         (reference: vid_aud_grid.py:190-210 round-trips via numpy/scipy).
         """
         spec = self.mel_to_linear(mel_norm)
-        return self._vocode(spec, key)
+        return self._vocode(spec, key, init_phase)
 
-    def inverse_spec(self, spec: jax.Array, key: jax.Array) -> jax.Array:
+    def inverse_spec(
+        self, spec: jax.Array, key: jax.Array, init_phase: jax.Array | None = None
+    ) -> jax.Array:
         """Linear magnitudes (B, T, n_linear) -> waveform (B, L), clipped.
 
-        Reference: vid_aud_grid.py:212-224.
+        Reference: vid_aud_grid.py:212-224.  ``init_phase`` (B, T, n_linear)
+        overrides the random Griffin-Lim phase init (torch-parity harness).
         """
-        return self._vocode(spec, key)
+        return self._vocode(spec, key, init_phase)
 
-    def _vocode(self, spec: jax.Array, key: jax.Array) -> jax.Array:
+    def _vocode(
+        self, spec: jax.Array, key: jax.Array, init_phase: jax.Array | None = None
+    ) -> jax.Array:
         if jax.default_backend() == "tpu":
             # MXU windowed-DFT Griffin-Lim: 3.4x faster than XLA FFT at the
             # 640-pt production size, bit-equivalent in fp32.
@@ -100,10 +107,15 @@ class MelPipeline:
                 self.stft_params,
                 self.config.griffin_lim_iters,
                 compute_dtype=jnp.float32,
+                init_phase=init_phase,
             )
         else:
             wav = griffin_lim(
-                spec, key, self.stft_params, self.config.griffin_lim_iters
+                spec,
+                key,
+                self.stft_params,
+                self.config.griffin_lim_iters,
+                init_phase=init_phase,
             )
         wav = audio_ops.deemphasis(wav, self.config.preemphasis)
         return jnp.clip(wav, -1.0, 1.0)

@@ -97,6 +97,10 @@ class Trainer:
         )
         self.eval_step = make_eval_step(self.modules)
         self.rng = jax.random.PRNGKey(tc.seed)
+        # validation dataset cache: the reference rebuilds a MultiDataset
+        # per validate() call (train.py:337-353); rebuilding here would leak
+        # a decode thread pool per call, so it is built once and reused
+        self._val_ds = None
 
     # --------------------------------------------------------------- datasets
 
@@ -237,7 +241,7 @@ class Trainer:
 
             spec = lrs_denormalize_spec(jnp.swapaxes(gs[:1], 1, 2))
         else:
-            spec = jnp.maximum(jnp.swapaxes(gs[:1], 1, 2), 0.0)
+            spec = jnp.swapaxes(gs[:1], 1, 2)
         wav = self.pipeline.inverse_spec(spec, k_gl)
         self.writer.audio("train_aud/pred_spec", np.asarray(wav[0]), step)
 
@@ -254,14 +258,16 @@ class Trainer:
         (train.py:468).
         """
         cfg = self.config
-        val_ds = self._make_dataset("val", seed=0)
+        if self._val_ds is None:
+            self._val_ds = self._make_dataset("val", seed=0)
+        val_ds = self._val_ds
         limit = 5 if fast else (max_batches or len(val_ds))
         bs = max(cfg.train.batch_size, 1)
 
         from vcagan.eval.pesq_nb import pesq_batch
 
         losses, stois, estois, pesqs = [], [], [], []
-        stois_mel, estois_mel = [], []
+        stois_mel, estois_mel, pesqs_mel = [], [], []
         for i, raw in enumerate(val_ds.epoch(bs, shuffle=fast, drop_last=False)):
             if i >= limit:
                 break
@@ -276,15 +282,23 @@ class Trainer:
                 k_noise,
             )
             losses.append(float(jnp.mean(jnp.abs(g3 - batch.mel)[:nv])))
+            # vocode only the valid mel frames, batch-static at the first
+            # sample's length like the reference's g3[:, :, :, :mel_len[0]]
+            # slice (train.py:389-391) — a no-op for fixed-length GRID val
+            # clips, load-bearing for short clips
+            ml0 = int(np.asarray(raw["mel_len"])[0]) if "mel_len" in raw else gs.shape[2]
             if self.is_lrs:
                 from vcagan.data.lrs import lrs_denormalize_spec
 
-                spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2))
+                spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2)[:, :ml0])
             else:
-                spec = jnp.maximum(jnp.swapaxes(gs, 1, 2), 0.0)
+                # raw postnet output, unclamped, like reference train.py:390
+                spec = jnp.swapaxes(gs, 1, 2)[:, :ml0]
             wav_pred = self.pipeline.inverse_spec(spec, k_gl)
             # mel path: inverse_mel(g3) (reference train.py:389)
-            wav_mel = self.pipeline.inverse_mel(jnp.swapaxes(g3, 1, 2), k_gl)
+            wav_mel = self.pipeline.inverse_mel(
+                jnp.swapaxes(g3, 1, 2)[:, :ml0], k_gl
+            )
             wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
             stois.append(np.asarray(stoi_batch(wav_gt, wav_pred))[:nv])
             estois.append(
@@ -299,6 +313,11 @@ class Trainer:
             stois_mel.append(np.asarray(stoi_batch(wav_gt, wav_mel_t))[:nv])
             estois_mel.append(
                 np.asarray(stoi_batch(wav_gt, wav_mel_t, extended=True))[:nv]
+            )
+            pesqs_mel.append(
+                np.asarray(
+                    pesq_batch(np.asarray(wav_gt), np.asarray(wav_mel_t), fs=16_000)
+                )[:nv]
             )
 
             if i == 0:  # media for the first batch (reference train.py:406-448)
@@ -323,8 +342,13 @@ class Trainer:
             float(np.nanmean(np.concatenate(estois))),
             pesq_mean,
         )
-        # mel-path metrics go to the stream (reference logs both paths,
-        # train.py:453-460, but returns/checkpoints on the postnet path)
+        # mel-path metrics go to the stream (reference logs both paths
+        # incl. val/mel_pesq, train.py:453-460, but returns/checkpoints on
+        # the postnet path)
+        pesq_mel_all = np.concatenate(pesqs_mel)
+        pesq_mel_mean = (
+            float(np.nanmean(pesq_mel_all)) if np.isfinite(pesq_mel_all).any() else 0.0
+        )
         self.writer.scalars(
             {
                 "val/stoi": logs[1],
@@ -332,6 +356,7 @@ class Trainer:
                 "val/pesq": logs[3],
                 "val/stoi_mel": float(np.nanmean(np.concatenate(stois_mel))),
                 "val/estoi_mel": float(np.nanmean(np.concatenate(estois_mel))),
+                "val/pesq_mel": pesq_mel_mean,
             },
             int(self.state.step),
         )

@@ -329,8 +329,13 @@ def make_eval_step(modules: VCAGANModules, flip_tta: bool = False):
         video: jax.Array,
         vid_len: jax.Array,
         noise_rng: jax.Array,
+        noise: jax.Array | None = None,
     ):
-        def forward(vid, key):
+        """``noise`` (2, B, F, T, C), optional: explicit generator noise for
+        the two TTA passes, overriding the rng draws — the system-parity
+        harness injects the reference's pinned torch.randn draws here."""
+
+        def forward(vid, key, n):
             phon, sent = modules.v_front.apply(
                 {"params": g_params["v_front"], "batch_stats": batch_stats["v_front"]},
                 vid,
@@ -343,12 +348,17 @@ def make_eval_step(modules: VCAGANModules, flip_tta: bool = False):
                 vid_len,
                 train=False,
                 rngs={"noise": key},
+                noise=n,
             )
             return g3
 
-        g3 = forward(video, noise_rng)
+        g3 = forward(video, noise_rng, None if noise is None else noise[0])
         if flip_tta:
-            g3_flip = forward(video[:, :, :, ::-1, :], jax.random.fold_in(noise_rng, 1))
+            g3_flip = forward(
+                video[:, :, :, ::-1, :],
+                jax.random.fold_in(noise_rng, 1),
+                None if noise is None else noise[1],
+            )
             g3 = (g3 + g3_flip) / 2.0
 
         gs = modules.post.apply(
