@@ -77,6 +77,10 @@ class TestSTFT:
 class TestMelFilterbank:
     def test_matches_torchaudio_slaney(self):
         torchaudio = pytest.importorskip("torchaudio")
+        if getattr(torchaudio, "__vcagan_shim__", False):
+            # test_inverse_dsp_parity installs a stub so the reference data
+            # modules import; only the real library can validate this
+            pytest.skip("torchaudio in sys.modules is the parity-test shim")
         fb = mel_filterbank(16000, 640, 80, 55.0, 7500.0)  # (80, 321)
         ref = torchaudio.functional.melscale_fbanks(
             n_freqs=321,

@@ -86,7 +86,10 @@ def _install_shims():
         sys.modules["librosa.util"] = lu
         sys.modules["librosa.filters"] = lf
 
-    sys.modules.setdefault("torchaudio", types.ModuleType("torchaudio"))
+    if "torchaudio" not in sys.modules:
+        ta = types.ModuleType("torchaudio")
+        ta.__vcagan_shim__ = True  # real-library-gated tests must still skip
+        sys.modules["torchaudio"] = ta
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
         tvt = types.ModuleType("torchvision.transforms")

@@ -68,3 +68,46 @@ def test_two_process_input_feeding():
     )
     raw = next(ds.epoch(4, shuffle=True))
     assert abs(float(np.mean(raw["wav"])) - results[0][1]) < 1e-6
+
+
+def test_two_process_lrs_eval_bucketing():
+    """Variable-length LRS eval across two processes: the bucket (static
+    shape) decision must be global, or the hosts' slices cannot assemble.
+    Both hosts must report identical shapes and global content stats."""
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), "2", str(port), "lrs_eval"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+
+    results = []
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("RESULT ")]
+        assert lines, out[-2000:]
+        results.append([float(x) for x in lines[0].split()[1:]])
+    np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+
+    # buckets equal the single-process (no-slice) decision; the lengths are
+    # chosen (see the worker) so a LOCAL decision would have differed on
+    # every batch — i.e. this test bites
+    from vcagan.data.lrs import LRSDataset, SyntheticLRSSource
+
+    LENGTHS = [50, 90, 30, 35, 82, 41, 44, 39]
+    ds = LRSDataset(SyntheticLRSSource(lengths=LENGTHS), mode="val", seed=5)
+    single_buckets = [
+        raw["video_raw"].shape[1]
+        for raw in ds.epoch(4, shuffle=False, drop_last=False)
+    ]
+    two_proc_buckets = results[0][0::3]
+    np.testing.assert_allclose(two_proc_buckets, single_buckets)
+    # host 1's slice of batch 0 is [30, 35] -> local bucket 40, while the
+    # global decision is 120: a local decision WOULD have desynced
+    assert ds._bucket(max(LENGTHS[2], LENGTHS[3])) != single_buckets[0]

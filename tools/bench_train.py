@@ -23,6 +23,8 @@ _p = argparse.ArgumentParser()
 _p.add_argument("--batch", type=int, default=16)
 _p.add_argument("--window", type=int, default=40)
 _p.add_argument("--bf16", action="store_true")
+_p.add_argument("--remat", type=str, default="none",
+                help="selective remat sites: none | vfront | r1 | vfront,r1")
 _args, _ = _p.parse_known_args()
 BATCH = _args.batch
 WINDOW = _args.window
@@ -46,7 +48,8 @@ def main():
     d_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
                           cfg.lr_milestones, cfg.lr_gamma, 100)
     state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 100)
-    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True)
+    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True,
+                              remat=_args.remat)
 
     rng = np.random.default_rng(0)
     batch = Batch(

@@ -52,6 +52,9 @@ def parse_args(argv=None):
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 compute in conv/matmul-heavy modules "
                         "(params and losses stay fp32; ~25%% more clips/s)")
+    p.add_argument("--remat", type=str, default="none",
+                   help="selective remat sites (none|r1|vfront|vfront,r1); "
+                        "r1 unlocks bf16 batch 64 on one chip")
     return p.parse_args(argv)
 
 
@@ -74,6 +77,7 @@ def build_config(args):
             "train.checkpoint_dir": args.checkpoint_dir,
             "model.sync_temp": args.temp,
             "model.use_bfloat16": args.bf16,
+            "train.remat": args.remat,
             "mesh.model_parallel": args.model_parallel,
         }
     )

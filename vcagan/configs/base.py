@@ -111,6 +111,14 @@ class TrainConfig:
     recon_on_denormalized: bool = True  # False for LRS
     checkpoint_dir: str = "./data/checkpoints/GRID"
     workers: int = 6
+    # Selective rematerialization sites ("none" | "r1" | "vfront" |
+    # "vfront,r1").  "r1" checkpoints the discriminator forward inside the
+    # R1 penalty — measured to unlock bf16 batch 64 on one v5e chip at
+    # 142.4 clips/s (vs 139 at batch 32; batch 64 OOMs without it), see
+    # tools/bench_train.py.  "vfront" trades much more recompute and
+    # measured ~25% slower at every shape — available for memory-starved
+    # configurations only.
+    remat: str = "none"
 
 
 @dataclasses.dataclass(frozen=True)

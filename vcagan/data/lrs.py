@@ -160,6 +160,14 @@ class LRSClipSource:
     def __len__(self) -> int:
         return len(self.files)
 
+    def frame_count(self, idx: int) -> int:
+        """Video frame count from the crop table (one (x, y) row per frame)
+        — available WITHOUT decoding, so multi-host bucket decisions can be
+        made over the global batch (the reference asserts crop/frame
+        agreement at vid_aud_lrs2.py:192, so this equals the decoded
+        length)."""
+        return len(self.crops[self.files[idx]]) // 2
+
     def clip(self, idx: int):
         name = self.files[idx]
         root = self.config.data_root
@@ -179,15 +187,27 @@ class LRSClipSource:
 class SyntheticLRSSource:
     """Synthetic variable-length clips with lip-center tracks (tests)."""
 
-    def __init__(self, num_clips: int = 8, min_frames: int = 30, max_frames: int = 90):
+    def __init__(
+        self,
+        num_clips: int = 8,
+        min_frames: int = 30,
+        max_frames: int = 90,
+        lengths=None,
+    ):
         from vcagan.data.synthetic import SyntheticLipSpeech
 
         self._rng = np.random.default_rng(7)
-        self._lengths = self._rng.integers(min_frames, max_frames + 1, num_clips)
-        self._gen = SyntheticLipSpeech(num_clips=num_clips, video_frames=1)
+        if lengths is not None:  # explicit per-clip frame counts (tests)
+            self._lengths = np.asarray(lengths, np.int64)
+        else:
+            self._lengths = self._rng.integers(min_frames, max_frames + 1, num_clips)
+        self._gen = SyntheticLipSpeech(num_clips=len(self._lengths), video_frames=1)
 
     def __len__(self):
         return len(self._lengths)
+
+    def frame_count(self, idx: int) -> int:
+        return int(self._lengths[idx])
 
     def clip(self, idx: int):
         from vcagan.data.synthetic import SyntheticLipSpeech
@@ -274,10 +294,11 @@ class LRSDataset:
     ) -> Iterator[dict]:
         """See GridDataset.epoch for the drop_last / process_slice contract.
 
-        Multi-host caveat: eval-mode bucket selection uses only the LOCAL
-        slice's clip lengths, so hosts could pick different buckets; train
-        mode (fixed window) is host-uniform.  Multi-host eval should run
-        single-host or with window-mode collation.
+        Eval-mode bucket selection is a function of the GLOBAL batch: the
+        bucket is chosen from source metadata frame counts (crop-table
+        rows, no decode needed) over ALL of the batch's clips BEFORE the
+        process slice, so every host picks the same static shape — like
+        the window-start draws, which are also made globally.
         """
         n = len(self.source)
         if n == 0 or (drop_last and n < batch_size):
@@ -294,9 +315,19 @@ class LRSDataset:
             # full-global-batch draws before slicing (see GridDataset.epoch)
             return self.rng.random(batch_size)[sl] if self.sample_window else None
 
+        def _bucket_of(global_idxs) -> Optional[int]:
+            if self.sample_window:
+                return None  # fixed window, host-uniform already
+            longest = min(
+                max(self.source.frame_count(int(i)) for i in global_idxs),
+                self.data.max_v_timesteps,
+            )
+            return self._bucket(longest)
+
         for start in range(0, n - batch_size + 1, batch_size):
+            gidx = order[start : start + batch_size]
             yield self._collate(
-                order[start : start + batch_size][sl], starts_u=_starts_u()
+                gidx[sl], starts_u=_starts_u(), bucket=_bucket_of(gidx)
             )
         rem = n % batch_size
         if not drop_last and rem:
@@ -305,13 +336,19 @@ class LRSDataset:
             )
             # local slice's real-clip count (see GridDataset.epoch)
             local_valid = int((np.arange(batch_size)[sl] < rem).sum())
-            yield self._collate(idxs[sl], n_valid=local_valid, starts_u=_starts_u())
+            yield self._collate(
+                idxs[sl],
+                n_valid=local_valid,
+                starts_u=_starts_u(),
+                bucket=_bucket_of(idxs),
+            )
 
     def _collate(
         self,
         idxs,
         n_valid: Optional[int] = None,
         starts_u: Optional[np.ndarray] = None,
+        bucket: Optional[int] = None,
     ) -> dict:
         """Host half, faithful to the reference per-item chain
         (vid_aud_lrs2.py:150-201): the FULL clip is peak-normalized (the
@@ -331,6 +368,8 @@ class LRSDataset:
 
         if self.sample_window:
             w = self.data.window_size
+        elif bucket is not None:
+            w = bucket  # global, host-identical decision from epoch()
         else:
             longest = min(
                 max(v.shape[0] for v, *_ in clips), self.data.max_v_timesteps

@@ -93,7 +93,8 @@ class Trainer:
                 config.audio, config.data, augment=False
             )
         self.train_step = make_train_step(
-            self.modules, self.g_tx, self.d_tx, tc, donate=True, mesh=self.mesh
+            self.modules, self.g_tx, self.d_tx, tc, donate=True, mesh=self.mesh,
+            remat=getattr(tc, "remat", "none"),
         )
         self.eval_step = make_eval_step(self.modules)
         self.rng = jax.random.PRNGKey(tc.seed)
@@ -282,23 +283,38 @@ class Trainer:
                 k_noise,
             )
             losses.append(float(jnp.mean(jnp.abs(g3 - batch.mel)[:nv])))
-            # vocode only the valid mel frames, batch-static at the first
+            # GRID: vocode only the valid mel frames, sliced at the first
             # sample's length like the reference's g3[:, :, :, :mel_len[0]]
-            # slice (train.py:389-391) — a no-op for fixed-length GRID val
-            # clips, load-bearing for short clips
-            ml0 = int(np.asarray(raw["mel_len"])[0]) if "mel_len" in raw else gs.shape[2]
+            # (train.py:389-391) — constant for fixed-length GRID val clips
+            # (no retrace), load-bearing for short clips.
+            # LRS: variable mel_len[0] per bucketed batch would retrace the
+            # Griffin-Lim scan per distinct length, so the vocode stays at
+            # the static bucket shape with per-sample frames >= mel_len
+            # zeroed (the shape-static equivalent the LRS test CLI uses,
+            # cli/test_lrs.py) — each clip is scored at its own length
+            # rather than truncated at clip 0's like the reference quirk.
             if self.is_lrs:
                 from vcagan.data.lrs import lrs_denormalize_spec
 
-                spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2)[:, :ml0])
+                mel_len = jnp.asarray(raw["mel_len"])
+                spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2))
+                frame_ok = jnp.arange(spec.shape[1])[None, :] < mel_len[:, None]
+                spec = jnp.where(frame_ok[:, :, None], spec, 0.0)
+                mel_in = jnp.where(
+                    frame_ok[:, :, None], jnp.swapaxes(g3, 1, 2), -1.0
+                )  # -1.0 = the normalized-mel silence floor
             else:
+                ml0 = (
+                    int(np.asarray(raw["mel_len"])[0])
+                    if "mel_len" in raw
+                    else gs.shape[2]
+                )
                 # raw postnet output, unclamped, like reference train.py:390
                 spec = jnp.swapaxes(gs, 1, 2)[:, :ml0]
+                mel_in = jnp.swapaxes(g3, 1, 2)[:, :ml0]
             wav_pred = self.pipeline.inverse_spec(spec, k_gl)
             # mel path: inverse_mel(g3) (reference train.py:389)
-            wav_mel = self.pipeline.inverse_mel(
-                jnp.swapaxes(g3, 1, 2)[:, :ml0], k_gl
-            )
+            wav_mel = self.pipeline.inverse_mel(mel_in, k_gl)
             wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
             stois.append(np.asarray(stoi_batch(wav_gt, wav_pred))[:nv])
             estois.append(

@@ -81,6 +81,7 @@ def make_train_step(
     donate: bool = True,
     sync_leak: bool = True,
     mesh=None,
+    remat: str = "none",
 ):
     """Build the jitted GAN train step.
 
@@ -90,6 +91,14 @@ def make_train_step(
     gradient leak into v_front (the ``retain_graph=True`` accumulation at
     reference train.py:210) — used by the differential regression test
     that pins the leak's effect on the G update.
+
+    ``remat``: comma-separated selective-rematerialization sites, trading
+    recompute FLOPs for HBM traffic (the fp32 step measures 87% HBM
+    bandwidth utilization at 23% MFU — tools/mfu_report.py — so the trade
+    has headroom).  ``"vfront"`` checkpoints the visual front (its stem /
+    ResNet activations are the largest residuals); ``"r1"`` checkpoints
+    the discriminator forward inside the R1 gradient penalty (the
+    second-order path).  ``"none"`` (default) stores everything.
 
     ``mesh``: when training sharded, pass the (data, model) Mesh so the
     generator-side outputs are pinned to batch-only sharding at the
@@ -114,14 +123,27 @@ def make_train_step(
         def _pin(x):
             return x
 
-    def forward_gen_side(g_params, batch_stats, batch: Batch, rngs):
-        """v_front + generator forward (train mode) with stats updates."""
-        (phon, sent), vf_upd = modules.v_front.apply(
-            {"params": g_params["v_front"], "batch_stats": batch_stats["v_front"]},
-            batch.video,
+    remat_sites = set(filter(None, remat.split(",")))
+
+    def _vf_apply(params, stats, video, dropout_key):
+        return modules.v_front.apply(
+            {"params": params, "batch_stats": stats},
+            video,
             train=True,
             mutable=["batch_stats"],
-            rngs={"dropout": rngs["dropout"]},
+            rngs={"dropout": dropout_key},
+        )
+
+    if "vfront" in remat_sites:
+        _vf_apply = jax.checkpoint(_vf_apply)
+
+    def forward_gen_side(g_params, batch_stats, batch: Batch, rngs):
+        """v_front + generator forward (train mode) with stats updates."""
+        (phon, sent), vf_upd = _vf_apply(
+            g_params["v_front"],
+            batch_stats["v_front"],
+            batch.video,
+            rngs["dropout"],
         )
         (g1, g2, g3), gen_upd = modules.gen.apply(
             {"params": g_params["gen"], "batch_stats": batch_stats["gen"]},
@@ -157,12 +179,10 @@ def make_train_step(
         for name, mel_k in (("dis1", mel1), ("dis2", mel2), ("dis3", mel3)):
             u, c = disc_logits(d_params, name, _img(mel_k), sent_sg)
             real_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
-            r1_terms.append(
-                r1_penalty(
-                    lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0],
-                    mel_k,
-                )
-            )
+            r1_logit_fn = lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0]
+            if "r1" in remat_sites:
+                r1_logit_fn = jax.checkpoint(r1_logit_fn)
+            r1_terms.append(r1_penalty(r1_logit_fn, mel_k))
 
         fake_terms = []
         for name, g_k in (("dis1", g1), ("dis2", g2), ("dis3", g3)):
@@ -308,6 +328,10 @@ def make_train_step(
             "g_sync_loss": g_aux["g_sync_loss"],
             "d_sync_loss": d_aux["d_sync_loss"],
             "r1": d_aux["r1"],
+            # stability observability (the soak harness asserts on these;
+            # the reference logs losses only, train.py:249-254)
+            "g_grad_norm": optax.global_norm(g_grads),
+            "d_grad_norm": optax.global_norm(d_grads),
         }
         return new_state, metrics
 
