@@ -247,3 +247,143 @@ class TestFinalMetrics:
     def test_scores_are_sane(self, system):
         s = _scores(system["gt_wav"], system["wav_spec_t"])
         assert np.isfinite(s).all()
+
+
+class TestLRSComposed:
+    """The LRS composed test path (test_LRS.py:146-165): flip-TTA forward,
+    then PER-SAMPLE ``inverse_spec(gs[b, :, :, :mel_len[b]])`` through the
+    LRS denormalize chain (log-affine -> exp -> x14) — vs this framework's
+    shape-static equivalent (cli/test_lrs.py): batched Griffin-Lim over the
+    zero-masked padded spec with per-sample phases injected, trimmed to the
+    reference lengths.  The masked-batched vocode is NOT bit-equal to the
+    per-sample exact-length one (window overlap couples ~3 boundary
+    frames); this test proves the FINAL metric still agrees within the
+    0.5% bar."""
+
+    VID_LEN = (20, 15)
+    MEL_LEN = (80, 58)
+
+    @pytest.fixture(scope="class")
+    def lrs(self):
+        torch.manual_seed(1)
+        real_cuda = torch.Tensor.cuda
+        torch.Tensor.cuda = lambda self, *a, **k: self
+        with torch.no_grad():
+            from src.data.vid_aud_lrs2 import MultiDataset, TacotronSTFT
+            from src.models import generator as ref_gen_mod
+            from src.models.visual_front import Visual_front
+
+            v_front = Visual_front(in_channels=1).eval()
+            gen = ref_gen_mod.Decoder().eval()
+            post = ref_gen_mod.Postnet().eval()
+            vf_vars = convert_visual_front(v_front.state_dict())
+            gen_vars = convert_decoder(gen.state_dict())
+            post_vars = convert_postnet(post.state_dict())
+
+            rng = np.random.default_rng(9)
+            t_max = max(self.VID_LEN)
+            video = rng.standard_normal((B, 1, t_max, 112, 112)).astype(
+                np.float32
+            ) * 0.5
+            # zero frames past each clip's true length, like padded batches
+            for b, l in enumerate(self.VID_LEN):
+                video[b, :, l:] = 0.0
+            vid_len = np.asarray(self.VID_LEN)
+            mel_len = np.asarray(self.MEL_LEN)
+            noise = rng.standard_normal((2, B, 128, 20, t_max)).astype(np.float32)
+            gt_wav = np.stack(
+                [_speechish(160 * (4 * t_max - 1), 200 + b) for b in range(B)]
+            )
+
+            draws = iter([torch.from_numpy(noise[0]), torch.from_numpy(noise[1])])
+            real_randn = torch.randn
+            ref_gen_mod.torch.randn = lambda *s: next(draws)
+            try:
+                vid_t = torch.from_numpy(video)
+                vl_t = torch.from_numpy(vid_len)
+                phon, sent = v_front(vid_t)
+                g3 = gen(sent, phon, vl_t)[2]
+                phon_f, sent_f = v_front(vid_t.flip(4))
+                g3_f = gen(sent_f, phon_f, vl_t)[2]
+            finally:
+                ref_gen_mod.torch.randn = real_randn
+            g3_t = (g3 + g3_f) / 2.0
+            gs_t = post(g3_t)  # (B, 1, 321, 4*t_max)
+
+            ds = MultiDataset.__new__(MultiDataset)
+            stft = TacotronSTFT(640, 160, 640, 80, 16000, 55.0, 7600.0)
+
+            # reference: per-sample exact-length Griffin-Lim with its own
+            # seeded phase draw (test_LRS.py:160-161)
+            wavs_t, angles = [], []
+            for b in range(B):
+                lb = int(mel_len[b])
+                ang = _seeded_angles((1, 321, lb), seed=50 + b)
+                angles.append(ang)
+                np.random.seed(50 + b)
+                wavs_t.append(ds.inverse_spec(gs_t[b, :, :, :lb], stft)[0])
+        torch.Tensor.cuda = real_cuda
+
+        # ---- JAX: the CLI's shape-static masked-batched equivalent ----
+        from vcagan.data.lrs import lrs_denormalize_spec
+
+        modules = VCAGANModules.create()
+        g_params = {
+            "v_front": vf_vars["params"],
+            "gen": gen_vars["params"],
+            "post": post_vars["params"],
+        }
+        batch_stats = {
+            "v_front": vf_vars.get("batch_stats", {}),
+            "gen": gen_vars.get("batch_stats", {}),
+            "post": post_vars.get("batch_stats", {}),
+        }
+        eval_fn = make_eval_step(modules, flip_tta=True)
+        g3_j, gs_j = eval_fn(
+            g_params,
+            batch_stats,
+            jnp.asarray(video.transpose(0, 2, 3, 4, 1)),
+            jnp.asarray(vid_len),
+            jax.random.PRNGKey(0),
+            noise=jnp.asarray(noise.transpose(0, 1, 3, 4, 2)),
+        )
+        spec = lrs_denormalize_spec(jnp.swapaxes(gs_j, 1, 2))  # (B, 4T, 321)
+        frame_ok = np.arange(spec.shape[1])[None, :] < mel_len[:, None]
+        spec = jnp.where(jnp.asarray(frame_ok)[:, :, None], spec, 0.0)
+        # per-sample reference phases packed into the padded batch; the
+        # masked (zero-magnitude) region's phase is irrelevant
+        phase = np.zeros((B, spec.shape[1], 321), np.float32)
+        for b in range(B):
+            phase[b, : mel_len[b]] = angles[b][0].T
+        pipe = MelPipeline(AudioConfig(f_max=7600.0))
+        wav_j = np.asarray(
+            pipe.inverse_spec(
+                spec, jax.random.PRNGKey(0), init_phase=jnp.asarray(phase)
+            )
+        )
+        return dict(
+            gs_t=gs_t.numpy(), gs_j=np.asarray(gs_j),
+            wavs_t=wavs_t, wav_j=wav_j, gt_wav=gt_wav, mel_len=mel_len,
+        )
+
+    def test_forward_parity(self, lrs):
+        np.testing.assert_allclose(
+            lrs["gs_j"], lrs["gs_t"][:, 0], atol=5e-4, rtol=5e-4
+        )
+
+    def test_final_metrics_within_bar(self, lrs):
+        """Reference scores stoi(wav_tr[:min_len], wav_spec) per sample
+        (test_LRS.py:162-164); ours trimmed to the same lengths."""
+        for b in range(B):
+            wav_t = np.asarray(lrs["wavs_t"][b])
+            n = len(wav_t)
+            wav_j = lrs["wav_j"][b, :n]
+            ref = lrs["gt_wav"][b][:n]
+            _assert_metric_parity(
+                f"LRS clip{b} STOI", stoi_np(ref, wav_t, 16000),
+                stoi_np(ref, wav_j, 16000),
+            )
+            _assert_metric_parity(
+                f"LRS clip{b} ESTOI", estoi_np(ref, wav_t, 16000),
+                estoi_np(ref, wav_j, 16000),
+            )
