@@ -24,12 +24,27 @@ class SyntheticLipSpeech:
     sample_rate: int = 16_000
     height: int = 256
     width: int = 256
+    # clips are deterministic in idx, so memoize them: long synthetic runs
+    # (soaks, benches) were re-rendering the same 16 clips every epoch on
+    # the 1-vCPU host (~14 MB per 75-frame clip; trivial against host RAM)
+    cache: bool = True
+    _cache: dict = dataclasses.field(
+        default_factory=dict, repr=False, compare=False
+    )
 
     def __len__(self) -> int:
         return self.num_clips
 
     def clip(self, idx: int):
         """Returns (video uint8 (T, H, W, 3), audio float32 (L,))."""
+        if self.cache and idx in self._cache:
+            return self._cache[idx]
+        out = self._render(idx)
+        if self.cache:
+            self._cache[idx] = out
+        return out
+
+    def _render(self, idx: int):
         rng = np.random.default_rng(1000 + idx)
         t_frames = self.video_frames
         n_samples = t_frames * self.sample_rate // self.fps
