@@ -71,6 +71,34 @@ class TestTransforms:
         assert 0.05 < frac < 0.35  # 56^2/112^2 = 0.25 max, less when clipped
 
 
+class TestHostCrop:
+    def test_host_crop_matches_device_crop(self):
+        """host_crop slices the box on the host in uint8; slice-then-resize
+        must be BIT-identical to the device crop of the full frame (same
+        pixels reach jax.image.resize either way)."""
+        import dataclasses as _dc
+
+        source = SyntheticLipSpeech(num_clips=2, video_frames=24)
+        cfgs = {
+            on: DataConfig(window_size=20)
+            if on
+            else _dc.replace(DataConfig(window_size=20), host_crop=False)
+            for on in (True, False)
+        }
+        batches = {}
+        for on, dcfg in cfgs.items():
+            ds = GridDataset(source, AudioConfig(), dcfg, mode="train", seed=3)
+            raw = next(ds.epoch(batch_size=2))
+            proc = make_device_pipeline(AudioConfig(), dcfg, augment=True)
+            batches[on] = proc(raw, jax.random.PRNGKey(7))
+        np.testing.assert_array_equal(
+            np.asarray(batches[True].video), np.asarray(batches[False].video)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(batches[True].mel), np.asarray(batches[False].mel)
+        )
+
+
 class TestSyntheticEndToEnd:
     def test_batch_through_device_pipeline(self):
         source = SyntheticLipSpeech(num_clips=4, video_frames=30)
@@ -82,7 +110,8 @@ class TestSyntheticEndToEnd:
             seed=0,
         )
         raw = next(ds.epoch(batch_size=2))
-        assert raw["video_raw"].shape == (2, 20, 256, 256, 3)
+        # host_crop slices the static GRID box (136x136) before upload
+        assert raw["video_raw"].shape == (2, 20, 136, 136, 3)
         assert raw["wav"].shape == (2, 20 * 4 * 160)
 
         process = make_device_pipeline(AudioConfig(), DataConfig(), augment=True)

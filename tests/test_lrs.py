@@ -113,6 +113,43 @@ class TestLRSDataset:
         assert np.isfinite(np.asarray(batch.mel)).all()
 
 
+class TestHostCropLRS:
+    def test_superset_matches_full_frame_path(self):
+        """host_crop ships 96^2 supersets around the clipped lip centers;
+        the device's jittered dynamic crop out of the superset must read
+        the EXACT pixels (and zero padding) the full-frame path reads —
+        including degenerate centers near/off the frame edge, where the
+        reference's clip(center + jitter, -8, size + 8) semantics bite."""
+        import dataclasses as _dc
+
+        from vcagan.data.lrs import LRSDataset, SyntheticLRSSource, make_lrs_device_pipeline
+
+        class EdgeCaseSource(SyntheticLRSSource):
+            # push some centers to (and past) the frame border
+            def clip(self, idx):
+                video, audio, coords = super().clip(idx)
+                if idx % 2 == 0:
+                    coords[:, 0] = np.linspace(
+                        -12, video.shape[2] + 12, len(coords)
+                    ).astype(np.int32)
+                    coords[:, 1] = 2
+                return video, audio, coords
+
+        src = EdgeCaseSource(num_clips=4, min_frames=40, max_frames=60)
+        acfg = AudioConfig(f_max=7600.0)
+        base = DataConfig(dataset="LRS2", window_size=24, max_v_timesteps=160)
+        batches = {}
+        for on in (True, False):
+            dcfg = base if on else _dc.replace(base, host_crop=False)
+            ds = LRSDataset(src, acfg, dcfg, mode="train", seed=5)
+            raw = next(ds.epoch(4))
+            proc = make_lrs_device_pipeline(acfg, augment=True, host_crop=on)
+            batches[on] = proc(raw, jax.random.PRNGKey(11))
+        np.testing.assert_array_equal(
+            np.asarray(batches[True].video), np.asarray(batches[False].video)
+        )
+
+
 class TestPerSampleVocodingLength:
     def test_padded_vs_trimmed_vocoding_agree_on_valid_region(self):
         """The LRS test driver vocodes the padded batch with the padded

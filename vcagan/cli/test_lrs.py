@@ -83,7 +83,9 @@ def main(argv=None):
         state = ckpt.restore(state, args.checkpoint)
 
     eval_fn = make_eval_step(modules, flip_tta=True)
-    process = make_lrs_device_pipeline(cfg.audio, augment=False)
+    process = make_lrs_device_pipeline(
+        cfg.audio, augment=False, host_crop=cfg.data.host_crop
+    )
     pipe = MelPipeline(cfg.audio)
 
     try:

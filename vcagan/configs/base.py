@@ -85,6 +85,12 @@ class DataConfig:
     augmentations: bool = True
     crop_size: int = 112
     grid_crop_box: Tuple[int, int, int, int] = (59, 95, 195, 231)
+    # Slice the static GRID crop box on the HOST (uint8, before upload)
+    # instead of shipping full frames to the device: 288x360 raw -> 136x136
+    # cuts per-step H2D bytes ~5.6x, which dominates wall time on a
+    # tunnel-attached chip.  Numerically identical (slice-then-resize ==
+    # crop-then-resize); the device pipeline skips its crop when set.
+    host_crop: bool = True
     pixel_mean: float = 0.4136
     pixel_std: float = 0.1700
     erase_size: int = 56

@@ -52,7 +52,7 @@ def make_device_pipeline(
             lambda fr, k: prepare_clip(
                 fr,
                 k,
-                crop_box=dcfg.grid_crop_box,
+                crop_box=None if dcfg.host_crop else dcfg.grid_crop_box,
                 out_size=dcfg.crop_size,
                 augment=augment,
                 erase_size=dcfg.erase_size,

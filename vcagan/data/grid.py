@@ -153,6 +153,14 @@ class GridDataset:
         part; window sampling stays on the epoch thread so rng draws are
         identical with any worker count)."""
         video, audio = self.source.clip(int(idx))
+        if self.data.host_crop:
+            # cut the static crop box out of the raw uint8 frames here so
+            # only the 136x136 region crosses the host->device link (the
+            # device pipeline skips its crop, transforms.prepare_clip
+            # crop_box=None); slice-then-resize is bit-identical to the
+            # reference's crop-then-resize (vid_aud_grid.py:99)
+            x0, y0, x1, y1 = self.data.grid_crop_box
+            video = video[:, y0:y1, x0:x1]
         cond = audio_host.condition_clip(audio, self.audio.preemphasis)
         return video, audio, cond
 

@@ -104,6 +104,88 @@ def crop_resize_dynamic(
     return (crops - PIXEL_MEAN) / PIXEL_STD
 
 
+SUP_MARGIN = 8  # > max |train jitter| (5); matches crop_resize_dynamic's pad
+
+
+def precrop_superset(
+    video: np.ndarray,
+    coords: np.ndarray,
+    half: int = 40,
+    margin: int = SUP_MARGIN,
+):
+    """Host half of DataConfig.host_crop for LRS: cut a (2*(half+margin))^2
+    zero-padded superset around each frame's CLIPPED lip center so only
+    ~96^2 pixels cross the host->device link instead of the full frame.
+
+    clip() is 1-Lipschitz, so the device's jittered window position
+    ``clip(c + j)`` (|j| <= 5 < margin) never strays more than ``margin``
+    from ``clip(c)`` — the 2*half window always lies inside the superset,
+    with identical zero-padding semantics to crop_resize_dynamic's
+    whole-frame pad.  Returns (superset (T', S, S, C) uint8, clipped
+    centers (T', 2) int32) with T' = min(len(video), len(coords)).
+    """
+    t = min(video.shape[0], coords.shape[0])
+    h, w = video.shape[1:3]
+    s = half + margin
+    cm = np.stack(
+        [
+            np.clip(coords[:t, 0], -margin, w + margin),
+            np.clip(coords[:t, 1], -margin, h + margin),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    out = np.zeros((t, 2 * s, 2 * s, video.shape[3]), video.dtype)
+    for i in range(t):
+        x0, y0 = int(cm[i, 0]) - s, int(cm[i, 1]) - s
+        ys0, ys1 = max(y0, 0), min(y0 + 2 * s, h)
+        xs0, xs1 = max(x0, 0), min(x0 + 2 * s, w)
+        if ys1 > ys0 and xs1 > xs0:
+            out[i, ys0 - y0 : ys1 - y0, xs0 - x0 : xs1 - x0] = video[
+                i, ys0:ys1, xs0:xs1
+            ]
+    return out, cm
+
+
+def crop_resize_dynamic_sup(
+    sup: jax.Array,
+    centers: jax.Array,
+    centers_m: jax.Array,
+    hw: jax.Array,
+    jitter: jax.Array,
+    out_size: int = 112,
+    half: int = 40,
+    margin: int = SUP_MARGIN,
+) -> jax.Array:
+    """crop_resize_dynamic over host-precropped supersets (host_crop path).
+
+    sup: (T, S, S, C) from precrop_superset; centers: ORIGINAL (T, 2)
+    (x, y); centers_m: clipped centers the supersets were cut around;
+    hw: (2,) original (h, w) — the jitter clip bounds.  Reads the exact
+    pixels (and zero padding) the full-frame path would.
+    """
+    t, _, _, c = sup.shape
+    x = sup.astype(jnp.float32)
+    if sup.dtype == jnp.uint8:
+        x = x / 255.0
+    h, w = hw[0], hw[1]
+
+    def one(frame, ct, cm):
+        cx = jnp.clip(ct[0] + jitter, -margin, w + margin)
+        cy = jnp.clip(ct[1] + jitter, -margin, h + margin)
+        return jax.lax.dynamic_slice(
+            frame,
+            (cy - cm[1] + margin, cx - cm[0] + margin, 0),
+            (2 * half, 2 * half, c),
+        )
+
+    crops = jax.vmap(one)(x, centers.astype(jnp.int32), centers_m)
+    crops = jax.image.resize(crops, (t, out_size, out_size, c), "bilinear")
+    if c == 3:
+        luma = jnp.asarray([0.299, 0.587, 0.114], crops.dtype)
+        crops = jnp.sum(crops * luma, axis=-1, keepdims=True)
+    return (crops - PIXEL_MEAN) / PIXEL_STD
+
+
 class LRSClipSource:
     """LRS2/LRS3 clips with lip-center tables."""
 
@@ -265,11 +347,19 @@ class LRSDataset:
             pass
 
     def _fetch(self, idx: int):
-        """Decode + full-clip conditioning (the parallelizable part)."""
+        """Decode + full-clip conditioning (the parallelizable part).
+        Returns (video, audio, coords, normed, cond, centers_m, hw):
+        with host_crop, ``video`` is the 96^2 per-frame superset around the
+        clipped centers ``centers_m`` and ``hw`` the original frame size
+        (the device's jitter clip bounds); otherwise centers_m is None."""
         video, audio, coords = self.source.clip(int(idx))
+        hw = video.shape[1:3]
+        cm = None
+        if self.data.host_crop:
+            video, cm = precrop_superset(video, coords)
         normed = audio_host.peak_normalize_clip(audio)
         cond = audio_host.preemphasize_clamp(normed, self.audio.preemphasis)
-        return video, audio, coords, normed, cond
+        return video, audio, coords, normed, cond, cm, hw
 
     def _fetch_all(self, idxs):
         if self._pool is not None:
@@ -378,7 +468,8 @@ class LRSDataset:
         seg_frames = w * mel_per + 1
 
         videos, wavs, segs, centers, vid_lens, mel_lens = [], [], [], [], [], []
-        for j, (video, audio, coords, normed, cond) in enumerate(clips):
+        centers_m, vid_hw = [], []
+        for j, (video, audio, coords, normed, cond, cm, hw) in enumerate(clips):
             t = min(video.shape[0], coords.shape[0])
             video, coords = video[:t], coords[:t]
             if self.sample_window:
@@ -388,6 +479,8 @@ class LRSDataset:
                 st = 0
             video = video[st : st + w]
             coords = coords[st : st + w]
+            if cm is not None:
+                cm = cm[st : st + w]
             n = video.shape[0]
             vid_lens.append(n)
             if n < w:
@@ -397,6 +490,11 @@ class LRSDataset:
                 coords = np.concatenate(
                     [coords, np.repeat(coords[-1:], w - n, axis=0)]
                 )
+                if cm is not None:
+                    cm = np.concatenate([cm, np.repeat(cm[-1:], w - n, axis=0)])
+            if cm is not None:
+                centers_m.append(cm)
+                vid_hw.append(hw)
 
             segs.append(
                 audio_host.stft_segment(cond, st * mel_per, seg_frames, n_fft, hop)
@@ -412,7 +510,7 @@ class LRSDataset:
             videos.append(video)
             wavs.append(wav.astype(np.float32))
             centers.append(coords)
-        return {
+        raw = {
             "video_raw": np.stack(videos),
             "centers": np.stack(centers),
             "aud_cond": np.stack(segs),
@@ -421,14 +519,23 @@ class LRSDataset:
             "mel_len": np.asarray(mel_lens, np.int32),
             "n_valid": np.int32(len(idxs) if n_valid is None else n_valid),
         }
+        if centers_m:
+            raw["centers_m"] = np.stack(centers_m)
+            raw["vid_hw"] = np.asarray(vid_hw, np.int32)
+        return raw
 
 
 def make_lrs_device_pipeline(
     audio_config: Optional[AudioConfig] = None,
     augment: bool = False,
+    host_crop: bool = True,
 ):
     """jitted ``process(raw: dict, key) -> Batch`` for LRS (dynamic crops +
-    the LRS spec chain over host-conditioned full-clip audio)."""
+    the LRS spec chain over host-conditioned full-clip audio).
+
+    ``host_crop`` must match the producing LRSDataset's
+    DataConfig.host_crop (both default True): the raw dict then carries
+    96^2 supersets + centers_m/vid_hw instead of full frames."""
     acfg = audio_config or AudioConfig(f_max=7600.0)
     pipe = MelPipeline(acfg)
 
@@ -438,16 +545,24 @@ def make_lrs_device_pipeline(
         b, w = video_raw.shape[0], video_raw.shape[1]
         keys = jax.random.split(key, b)
 
-        def one(frames, cts, k):
+        def one(frames, cts, k, cms=None, hw=None):
             k_j, k_f = jax.random.split(k)
             jitter = jax.random.randint(k_j, (), -5, 6) if augment else jnp.int32(0)
-            clip = crop_resize_dynamic(frames, cts, jitter)
+            if host_crop:
+                clip = crop_resize_dynamic_sup(frames, cts, cms, hw, jitter)
+            else:
+                clip = crop_resize_dynamic(frames, cts, jitter)
             if augment:
                 flip = jax.random.bernoulli(k_f, 0.5)
                 clip = jnp.where(flip, clip[:, :, ::-1, :], clip)
             return clip
 
-        video = jax.vmap(one)(video_raw, centers, keys)
+        if host_crop:
+            video = jax.vmap(one)(
+                video_raw, centers, keys, raw["centers_m"], raw["vid_hw"]
+            )
+        else:
+            video = jax.vmap(one)(video_raw, centers, keys)
 
         mag, _ = stft_magnitude(raw["aud_cond"], pipe.stft_params, center=False)
         n_mel = w * acfg.mel_per_video_frame

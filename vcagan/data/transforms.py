@@ -23,7 +23,7 @@ PIXEL_STD = 0.1700
 def prepare_clip(
     frames: jax.Array,
     key: Optional[jax.Array] = None,
-    crop_box: Tuple[int, int, int, int] = GRID_CROP,
+    crop_box: Optional[Tuple[int, int, int, int]] = GRID_CROP,
     out_size: int = 112,
     augment: bool = False,
     erase_size: int = 56,
@@ -37,13 +37,17 @@ def prepare_clip(
     fixed box crop -> bilinear resize to 112^2 -> stateful horizontal flip
     (one draw per clip) -> grayscale (ITU-R 601 luma, PIL semantics) ->
     normalize (0.4136, 0.1700) -> random 56^2 erase.
+
+    ``crop_box=None`` skips the slice: the host already cut the box out
+    of the raw frames before upload (DataConfig.host_crop).
     """
     t = frames.shape[0]
-    x0, y0, x1, y1 = crop_box
     x = frames.astype(jnp.float32)
     if frames.dtype == jnp.uint8:
         x = x / 255.0
-    x = x[:, y0:y1, x0:x1, :]
+    if crop_box is not None:
+        x0, y0, x1, y1 = crop_box
+        x = x[:, y0:y1, x0:x1, :]
     x = jax.image.resize(
         x, (t, out_size, out_size, x.shape[-1]), method="bilinear"
     )

@@ -82,9 +82,13 @@ class Trainer:
             from vcagan.data.lrs import make_lrs_device_pipeline
 
             self.process_train = make_lrs_device_pipeline(
-                config.audio, augment=config.data.augmentations
+                config.audio,
+                augment=config.data.augmentations,
+                host_crop=config.data.host_crop,
             )
-            self.process_eval = make_lrs_device_pipeline(config.audio, augment=False)
+            self.process_eval = make_lrs_device_pipeline(
+                config.audio, augment=False, host_crop=config.data.host_crop
+            )
         else:
             self.process_train = make_device_pipeline(
                 config.audio, config.data, augment=config.data.augmentations
