@@ -98,6 +98,29 @@ class TestHostCrop:
             np.asarray(batches[True].mel), np.asarray(batches[False].mel)
         )
 
+    def test_host_gray_within_quantization(self):
+        """host_gray rounds luma to uint8 on the host; vs the device
+        float-luma-after-resize path the error is bounded by one uint8
+        rounding: 0.5/255 in [0,1] pixels = 0.0116 normalized (resize is
+        a convex average, so per-pixel rounding cannot amplify)."""
+        import dataclasses as _dc
+
+        source = SyntheticLipSpeech(num_clips=2, video_frames=24)
+        batches = {}
+        for gray in (True, False):
+            dcfg = _dc.replace(DataConfig(window_size=20), host_gray=gray)
+            ds = GridDataset(source, AudioConfig(), dcfg, mode="train", seed=3)
+            raw = next(ds.epoch(batch_size=2))
+            proc = make_device_pipeline(AudioConfig(), dcfg, augment=False)
+            batches[gray] = proc(raw, jax.random.PRNGKey(7))
+        diff = np.abs(
+            np.asarray(batches[True].video) - np.asarray(batches[False].video)
+        )
+        assert diff.max() <= 0.5 / 255.0 / 0.17 + 1e-6
+        np.testing.assert_array_equal(
+            np.asarray(batches[True].mel), np.asarray(batches[False].mel)
+        )
+
 
 class TestSyntheticEndToEnd:
     def test_batch_through_device_pipeline(self):
@@ -110,8 +133,9 @@ class TestSyntheticEndToEnd:
             seed=0,
         )
         raw = next(ds.epoch(batch_size=2))
-        # host_crop slices the static GRID box (136x136) before upload
-        assert raw["video_raw"].shape == (2, 20, 136, 136, 3)
+        # host_crop slices the static GRID box (136x136) and host_gray
+        # collapses RGB to uint8 luma before upload
+        assert raw["video_raw"].shape == (2, 20, 136, 136, 1)
         assert raw["wav"].shape == (2, 20 * 4 * 160)
 
         process = make_device_pipeline(AudioConfig(), DataConfig(), augment=True)

@@ -149,6 +149,30 @@ class TestHostCropLRS:
             np.asarray(batches[True].video), np.asarray(batches[False].video)
         )
 
+    def test_host_gray_within_quantization(self):
+        """LRS host_gray: uint8 luma of the superset vs the device's
+        float-luma-after-resize — bounded by one uint8 rounding
+        (0.5/255/0.17 normalized); zero padding maps to luma 0 so the
+        out-of-frame semantics are unchanged."""
+        import dataclasses as _dc
+
+        from vcagan.data.lrs import LRSDataset, SyntheticLRSSource, make_lrs_device_pipeline
+
+        src = SyntheticLRSSource(num_clips=4, min_frames=40, max_frames=60)
+        acfg = AudioConfig(f_max=7600.0)
+        base = DataConfig(dataset="LRS2", window_size=24, max_v_timesteps=160)
+        batches = {}
+        for gray in (True, False):
+            dcfg = _dc.replace(base, host_gray=gray)
+            ds = LRSDataset(src, acfg, dcfg, mode="train", seed=5)
+            raw = next(ds.epoch(4))
+            proc = make_lrs_device_pipeline(acfg, augment=False, host_crop=True)
+            batches[gray] = proc(raw, jax.random.PRNGKey(11))
+        diff = np.abs(
+            np.asarray(batches[True].video) - np.asarray(batches[False].video)
+        )
+        assert diff.max() <= 0.5 / 255.0 / 0.17 + 1e-6
+
 
 class TestPerSampleVocodingLength:
     def test_padded_vs_trimmed_vocoding_agree_on_valid_region(self):

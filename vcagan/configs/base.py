@@ -91,6 +91,12 @@ class DataConfig:
     # tunnel-attached chip.  Numerically identical (slice-then-resize ==
     # crop-then-resize); the device pipeline skips its crop when set.
     host_crop: bool = True
+    # Convert RGB -> uint8 luma on the HOST before upload: another 3x off
+    # the per-step H2D bytes (the wire is the input bottleneck on a
+    # tunnel-attached chip, ~50 MB/s).  Within one uint8 rounding
+    # (<= 0.5/255 per pixel) of the device float-luma path — below the
+    # reference's own PIL uint8 quantization (transforms.host_luma_u8).
+    host_gray: bool = True
     pixel_mean: float = 0.4136
     pixel_std: float = 0.1700
     erase_size: int = 56

@@ -25,6 +25,7 @@ from vcagan.configs import AudioConfig, DataConfig
 from vcagan.data import audio_host
 from vcagan.data.splits import grid_file_list
 from vcagan.data.synthetic import SyntheticLipSpeech
+from vcagan.data.transforms import host_luma_u8
 
 
 def decode_video(path: str) -> np.ndarray:
@@ -161,6 +162,8 @@ class GridDataset:
             # reference's crop-then-resize (vid_aud_grid.py:99)
             x0, y0, x1, y1 = self.data.grid_crop_box
             video = video[:, y0:y1, x0:x1]
+        if self.data.host_gray and video.shape[-1] == 3:
+            video = host_luma_u8(video)
         cond = audio_host.condition_clip(audio, self.audio.preemphasis)
         return video, audio, cond
 

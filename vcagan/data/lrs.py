@@ -30,7 +30,7 @@ from vcagan.configs import AudioConfig, DataConfig
 from vcagan.data import audio_host
 from vcagan.data.grid import decode_video, load_audio
 from vcagan.data.splits import load_crop_table
-from vcagan.data.transforms import PIXEL_MEAN, PIXEL_STD
+from vcagan.data.transforms import PIXEL_MEAN, PIXEL_STD, host_luma_u8
 from vcagan.dsp import MelPipeline, dynamic_range_compression, mel_normalize
 from vcagan.dsp.stft import stft_magnitude
 from vcagan.train.step import Batch
@@ -357,6 +357,8 @@ class LRSDataset:
         cm = None
         if self.data.host_crop:
             video, cm = precrop_superset(video, coords)
+        if self.data.host_gray and video.shape[-1] == 3:
+            video = host_luma_u8(video)
         normed = audio_host.peak_normalize_clip(audio)
         cond = audio_host.preemphasize_clamp(normed, self.audio.preemphasis)
         return video, audio, coords, normed, cond, cm, hw

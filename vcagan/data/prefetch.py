@@ -52,6 +52,15 @@ class ParallelEpoch:
     ``workers`` constructor argument of GridDataset/LRSDataset fans
     ``source.clip`` + full-clip conditioning out over a thread pool); this
     wrapper only overlaps the whole collate with device compute.
+
+    ``to_device=True`` additionally issues ``jax.device_put`` on each raw
+    batch FROM THE PRODUCER THREAD: the host->device DMA is asynchronous,
+    so the upload of batch N+1 rides the transfer stream while the device
+    executes step N instead of sitting on the training loop's critical
+    path.  On a tunnel-attached chip the raw-video upload is the largest
+    single host-side cost per step, so this is the difference between
+    serialized and overlapped input feeding.  (Multi-host feeding keeps
+    ``to_device=False`` — there ``globalize`` owns the transfer.)
     """
 
     def __init__(
@@ -61,17 +70,21 @@ class ParallelEpoch:
         depth: int = 2,
         shuffle: bool = True,
         process_slice=None,
+        to_device: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.depth = depth
         self.shuffle = shuffle
         self.process_slice = process_slice
+        self.to_device = to_device
 
     def __iter__(self):
-        return prefetch_iterator(
-            self.dataset.epoch(
-                self.batch_size, self.shuffle, process_slice=self.process_slice
-            ),
-            self.depth,
+        it = self.dataset.epoch(
+            self.batch_size, self.shuffle, process_slice=self.process_slice
         )
+        if self.to_device:
+            import jax
+
+            it = (jax.device_put(raw) for raw in it)
+        return prefetch_iterator(it, self.depth)

@@ -14,10 +14,28 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 GRID_CROP = (59, 95, 195, 231)  # (x0, y0, x1, y1), reference vid_aud_grid.py:99
 PIXEL_MEAN = 0.4136
 PIXEL_STD = 0.1700
+_LUMA = np.asarray([0.299, 0.587, 0.114], np.float32)
+
+
+def host_luma_u8(video: np.ndarray) -> np.ndarray:
+    """uint8 RGB frames -> uint8 ITU-R 601 luma on the HOST
+    (DataConfig.host_gray): grayscale commutes with resize/flip up to
+    rounding, so converting before upload cuts host->device bytes 3x.
+
+    The residual vs the device's float-luma-after-resize path is one
+    uint8 rounding, |err| <= 0.5/255 in [0, 1] pixel units — BELOW the
+    reference's own quantization (PIL Resize and convert('L') each
+    round to uint8, vid_aud_grid.py:104-106).  Pointwise, so it commutes
+    exactly with the host_crop slice/superset (luma(0) == 0 keeps LRS
+    zero-padding semantics).
+    """
+    y = np.rint(video[..., :3].astype(np.float32) @ _LUMA)
+    return np.clip(y, 0.0, 255.0).astype(np.uint8)[..., None]
 
 
 def prepare_clip(

@@ -170,10 +170,37 @@ class Trainer:
 
             proc_slice = local_batch_slice(tc.batch_size)
 
+        # Deferred metric readback: the per-step ``float(v)`` calls are a
+        # blocking device->host sync (per-scalar RTT on a tunnel-attached
+        # chip), so step N's metrics are logged only AFTER step N+1 has
+        # been dispatched — the readback then overlaps device execution
+        # instead of serializing with it.
+        pending = None  # (step, metrics) awaiting readback
+
+        def flush():
+            nonlocal pending, step_t0
+            if pending is None:
+                return
+            pstep, pmetrics = pending
+            pending = None
+            if pstep % log_every == 0:
+                # one stacked D2H instead of a per-scalar round trip (the
+                # tunnel RTT is ~25 ms; a dozen float() calls would cost
+                # more than the device step itself)
+                keys = list(pmetrics)
+                vals = np.asarray(jnp.stack([pmetrics[k] for k in keys]))
+                host = dict(zip(keys, (float(v) for v in vals)))
+                # wall time since the previous logged step (loop pace, not
+                # device latency — steps overlap under async dispatch)
+                host["step_seconds"] = time.time() - step_t0
+                step_t0 = time.time()
+                self.writer.scalars({f"train/{k}": v for k, v in host.items()}, pstep)
+
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             for raw in ParallelEpoch(
-                self.train_ds, tc.batch_size, depth=2, process_slice=proc_slice
+                self.train_ds, tc.batch_size, depth=2, process_slice=proc_slice,
+                to_device=proc_slice is None,
             ):
                 if profile_steps and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
@@ -185,23 +212,23 @@ class Trainer:
                     batch = shard_batch(batch, self.mesh)
                 self.state, metrics = self.train_step(self.state, batch, k_step)
                 step += 1
+                flush()  # read back step-1's metrics while this step runs
+                pending = (step, metrics)
                 if profile_steps and step == profile_steps[1]:
                     jax.tree.map(
                         lambda x: x.block_until_ready(), metrics
                     )
                     jax.profiler.stop_trace()
-                if step % log_every == 0:
-                    host = {k: float(v) for k, v in metrics.items()}
-                    host["step_seconds"] = time.time() - step_t0
-                    step_t0 = time.time()
-                    self.writer.scalars({f"train/{k}": v for k, v in host.items()}, step)
                 if media_every and step % media_every == 0:
                     self._log_train_media(batch, step)
                 if tc.eval_step and step % tc.eval_step == 0:
+                    flush()
                     logs = self.validate(fast=True)
                     self.ckpt.save(self.state, epoch, *logs[1:])
                 if max_steps is not None and step >= max_steps:
+                    flush()
                     return step
+            flush()
             if not tc.eval_step:  # per-epoch validation (LRS recipe)
                 logs = self.validate(fast=True)
                 self.ckpt.save(self.state, epoch, *logs[1:])
