@@ -329,5 +329,7 @@ def make_grid_dataset(
             raise FileNotFoundError(
                 f"GRID corpus/splits not found under {config_data.data_root} / {splits_dir}"
             )
-        source = SyntheticLipSpeech(num_clips=16)
+        # 64 clips so large-batch recipes (b32/b64 soaks and benches) get
+        # real epochs; clips are memoized, ~1 GB raw on a 128 GB host
+        source = SyntheticLipSpeech(num_clips=64)
     return GridDataset(source, config_audio, config_data, mode, seed, workers)
