@@ -25,6 +25,11 @@ _p.add_argument("--window", type=int, default=40)
 _p.add_argument("--bf16", action="store_true")
 _p.add_argument("--remat", type=str, default="none",
                 help="selective remat sites: none | vfront | r1 | vfront,r1")
+_p.add_argument("--compiler_opts", type=str, default="",
+                help="comma list of k=v PJRT compiler options, e.g. "
+                     "xla_tpu_scoped_vmem_limit_kib=65536 (client-side "
+                     "XLA_FLAGS cannot steer the server-side TPU compiler "
+                     "behind the tunnel; compiler_options can)")
 _args, _ = _p.parse_known_args()
 BATCH = _args.batch
 WINDOW = _args.window
@@ -65,6 +70,12 @@ def main():
         vid_len=jnp.full((BATCH,), WINDOW, jnp.int32),
         mel_len=jnp.full((BATCH,), 4 * WINDOW, jnp.int32),
     )
+
+    if _args.compiler_opts:
+        opts = dict(kv.split("=", 1) for kv in _args.compiler_opts.split(","))
+        step_fn = step_fn.lower(state, batch, jax.random.PRNGKey(0)).compile(
+            compiler_options=opts
+        )
 
     # compile + warmup
     t0 = time.perf_counter()

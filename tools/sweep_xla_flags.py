@@ -1,4 +1,4 @@
-"""XLA flag sweep against the train step's small-fusion latency tail.
+"""TPU compiler-option sweep against the train step's small-fusion tail.
 
 tools/fusion_tail.py attributes the compiled fp32 b16x40 train step to
 14.9k ENTRY-level instructions: ~2.5k async copy pairs (~3.6 GB of pure
@@ -9,9 +9,13 @@ scheduling/fusion policy, swept here as whole-program measurements
 variant runs tools/bench_train.py in a fresh subprocess and reports the
 same whole-step clips/s).
 
-Unknown flags make the subprocess fail loudly; those variants are
-reported as "rejected (flag unknown)" — the sweep self-prunes across
-libtpu versions.
+Mechanism note: client-side ``XLA_FLAGS`` cannot steer the TPU compiler
+in this environment — the axon backend compiles SERVER-side behind the
+tunnel, and the local process aborts on unknown ``--xla_tpu_*`` flags.
+PJRT ``compiler_options`` (``lower().compile(compiler_options=...)``)
+DO reach the server-side compiler, so the sweep rides
+``bench_train.py --compiler_opts``.  Options the server rejects are
+reported as "rejected" — the sweep self-prunes across libtpu versions.
 
 Usage:
   python tools/sweep_xla_flags.py --batch 64 --bf16 --remat r1
@@ -32,44 +36,38 @@ VARIANTS = {
     "baseline": "",
     # larger scoped-vmem budget lets the fusion emitter build bigger
     # fusions before spilling (default is 16 MiB-ish on v5e)
-    "vmem_64m": "--xla_tpu_scoped_vmem_limit_kib=65536",
-    "vmem_32m": "--xla_tpu_scoped_vmem_limit_kib=32768",
+    "vmem_64m": "xla_tpu_scoped_vmem_limit_kib=65536",
+    "vmem_32m": "xla_tpu_scoped_vmem_limit_kib=32768",
     # latency-hiding scheduler: overlaps async copies with compute
-    "lhs": "--xla_tpu_enable_latency_hiding_scheduler=true",
+    "lhs": "xla_tpu_enable_latency_hiding_scheduler=true",
     "lhs+vmem64m": (
-        "--xla_tpu_enable_latency_hiding_scheduler=true "
-        "--xla_tpu_scoped_vmem_limit_kib=65536"
+        "xla_tpu_enable_latency_hiding_scheduler=true,"
+        "xla_tpu_scoped_vmem_limit_kib=65536"
     ),
     # aggressive multi-output fusion
-    "sink_broadcasts": "--xla_tpu_enable_multi_level_nested_loop_fusion=true",
+    "nested_fusion": "xla_tpu_enable_multi_level_nested_loop_fusion=true",
 }
 
 _RE = re.compile(r"([0-9.]+) clips/s")
 
 
-def run_variant(name: str, flags: str, bench_args) -> dict:
-    env = dict(os.environ)
-    if flags:
-        env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") + " " + flags).strip()
-        # flag changes invalidate the persistent compile cache keying? no —
-        # the cache keys on the XLA flags too, so each variant compiles
-        # fresh (~1-2 min) the first time and is cached per-flag-set after.
+def run_variant(name: str, opts: str, bench_args) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "bench_train.py")] + bench_args
+    if opts:
+        cmd += ["--compiler_opts", opts]
     try:
-        out = subprocess.run(
-            cmd, env=env, capture_output=True, text=True, timeout=900
-        )
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     except subprocess.TimeoutExpired:
-        return {"variant": name, "flags": flags, "status": "timeout"}
+        return {"variant": name, "opts": opts, "status": "timeout"}
     text = out.stdout + out.stderr
     m = _RE.search(text)
     if out.returncode != 0 or not m:
-        reason = "flag unknown" if "Unknown" in text or "unknown" in text else "failed"
+        reason = "rejected" if "INVALID_ARGUMENT" in text or "Unknown" in text else "failed"
         tail = text.strip().splitlines()[-3:]
-        return {"variant": name, "flags": flags, "status": reason, "tail": tail}
+        return {"variant": name, "opts": opts, "status": reason, "tail": tail}
     return {
         "variant": name,
-        "flags": flags,
+        "opts": opts,
         "status": "ok",
         "clips_per_s": float(m.group(1)),
     }
@@ -94,7 +92,7 @@ def main():
     for name in names:
         r = run_variant(name, VARIANTS[name], bench_args)
         results.append(r)
-        print(json.dumps(r))
+        print(json.dumps(r), flush=True)
     ok = [r for r in results if r["status"] == "ok"]
     if ok:
         best = max(ok, key=lambda r: r["clips_per_s"])
