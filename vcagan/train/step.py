@@ -336,7 +336,27 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
-    return jax.jit(train_step, donate_argnums=donate_argnums)
+    return jax.jit(
+        train_step,
+        donate_argnums=donate_argnums,
+        compiler_options=_tpu_compiler_options(),
+    )
+
+
+def _tpu_compiler_options():
+    """Measured TPU compiler options for the train step (None off-TPU).
+
+    A 64 MiB scoped-VMEM budget lets the fusion emitter build larger
+    fusions against the step's small-fusion latency tail: +1.9% whole-step
+    throughput at the record config (tools/sweep_xla_flags.py, b64 bf16
+    remat=r1: 142.3 -> 145.0 clips/s; 32 MiB regressed, 128 MiB fails —
+    that is the entire v5e VMEM).  Options must be set via PJRT
+    ``compiler_options`` — client-side XLA_FLAGS never reach the
+    server-side TPU compiler behind the tunnel.
+    """
+    if jax.default_backend() in ("cpu", "gpu"):
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
 def make_eval_step(modules: VCAGANModules, flip_tta: bool = False):
