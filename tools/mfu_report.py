@@ -96,7 +96,7 @@ def flagship_inference(results):
     )
 
 
-def train_step(results, batch_size, window, bf16):
+def train_step(results, batch_size, window, bf16, remat="none"):
     from vcagan.configs import ModelConfig, TrainConfig
     from vcagan.train import (
         Batch,
@@ -116,7 +116,7 @@ def train_step(results, batch_size, window, bf16):
     )
     state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 100)
     # donate=False so the same state can be passed repeatedly for timing
-    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=False)
+    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=False, remat=remat)
 
     rng = np.random.default_rng(0)
     batch = Batch(
@@ -142,7 +142,7 @@ def train_step(results, batch_size, window, bf16):
         return metrics["gen_loss"]
 
     dt = _time_fn(fn, (state, batch, jax.random.PRNGKey(0)))
-    tag = "bf16" if bf16 else "fp32"
+    tag = ("bf16" if bf16 else "fp32") + (f"+{remat}" if remat != "none" else "")
     results.append(
         _report(
             f"train b{batch_size}x{window}f {tag}", flops, bytes_acc, dt,
@@ -169,6 +169,9 @@ def main():
     if not args.skip_train:
         train_step(results, 16, 40, bf16=False)
         train_step(results, 32, 40, bf16=True)
+        # the record config: b64 bf16 + R1 remat (+ the 64 MiB scoped-vmem
+        # budget make_train_step now applies by default on TPU)
+        train_step(results, 64, 40, bf16=True, remat="r1")
 
     import json
 
