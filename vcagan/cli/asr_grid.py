@@ -42,8 +42,6 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
     if args.platform:
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
 
     from vcagan.eval.asr_grid import evaluate

@@ -63,8 +63,6 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
     if args.platform:
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
     cfg = grid_config(
         **{
@@ -95,7 +93,15 @@ def main(argv=None):
 
     stois, estois, pesqs = [], [], []
     os.makedirs(args.out_dir, exist_ok=True)
-    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False, drop_last=False)):
+    from vcagan.data.prefetch import prefetch_iterator
+
+    # overlap decode/collate with device compute + host metric scoring
+    # (raw stays on host: wav/mel_len are consumed by numpy below)
+    for i, raw in enumerate(
+        prefetch_iterator(
+            ds.epoch(args.batch_size, shuffle=False, drop_last=False), depth=2
+        )
+    ):
         if args.max_batches is not None and i >= args.max_batches:
             break
         nv = int(raw.get("n_valid", args.batch_size))

@@ -69,8 +69,6 @@ def main(argv=None):
     enable_compilation_cache()
     args = parse_args(argv)
     if args.platform:
-        import jax
-
         jax.config.update("jax_platforms", args.platform)
     cfg = build_config(args)
 
@@ -101,8 +99,15 @@ def main(argv=None):
     out_base = os.path.join(args.out_dir, args.data_name)
     os.makedirs(out_base, exist_ok=True)
 
+    from vcagan.data.prefetch import prefetch_iterator
+
     hop = cfg.audio.hop_length
-    for i, raw in enumerate(ds.epoch(args.batch_size, shuffle=False, drop_last=False)):
+    # overlap decode/collate with device compute + host metric scoring
+    for i, raw in enumerate(
+        prefetch_iterator(
+            ds.epoch(args.batch_size, shuffle=False, drop_last=False), depth=2
+        )
+    ):
         if args.max_batches is not None and i >= args.max_batches:
             break
         nv = int(raw.get("n_valid", args.batch_size))

@@ -71,7 +71,9 @@ def build_config(args):
             "train.workers": args.workers,
             "train.checkpoint_dir": args.checkpoint_dir,
             "model.sync_temp": args.temp,
-            "model.use_bfloat16": args.bf16,
+            # getattr: callers that share this config builder (test_lrs)
+            # don't define the train-only --bf16 flag
+            "model.use_bfloat16": getattr(args, "bf16", False),
             "mesh.model_parallel": args.model_parallel,
         },
     )
