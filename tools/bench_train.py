@@ -15,8 +15,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 import argparse
 _p = argparse.ArgumentParser()
@@ -26,7 +24,9 @@ _p.add_argument("--bf16", action="store_true")
 _p.add_argument("--remat", type=str, default="none",
                 help="selective remat sites: none | vfront | r1 | vfront,r1")
 _p.add_argument("--compiler_opts", type=str, default="",
-                help="comma list of k=v PJRT compiler options, e.g. "
+                help="'none' = raw compiler defaults (no options), "
+                     "'' = the shipped make_train_step defaults, or a "
+                     "comma list of k=v PJRT compiler options, e.g. "
                      "xla_tpu_scoped_vmem_limit_kib=65536 (client-side "
                      "XLA_FLAGS cannot steer the server-side TPU compiler "
                      "behind the tunnel; compiler_options can)")
@@ -40,42 +40,21 @@ def main():
 
     enable_compilation_cache()
 
-    from vcagan.configs import TrainConfig
-    from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
-    from vcagan.train.state import make_optimizer
+    from vcagan.train import make_train_step
 
-    from vcagan.configs import ModelConfig
+    from _fixtures import train_fixture
 
-    modules = VCAGANModules.create(ModelConfig(use_bfloat16=_args.bf16))
-    cfg = TrainConfig()
-    g_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
-                          cfg.lr_milestones, cfg.lr_gamma, 100)
-    d_tx = make_optimizer(cfg.lr, cfg.weight_decay, cfg.amsgrad,
-                          cfg.lr_milestones, cfg.lr_gamma, 100)
-    state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 100)
-    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True,
-                              remat=_args.remat)
-
-    rng = np.random.default_rng(0)
-    batch = Batch(
-        video=jnp.asarray(
-            rng.standard_normal((BATCH, WINDOW, 112, 112, 1)), jnp.float32
-        ),
-        mel=jnp.asarray(
-            np.clip(rng.standard_normal((BATCH, 80, 4 * WINDOW)), -1, 1), jnp.float32
-        ),
-        spec=jnp.asarray(
-            np.abs(rng.standard_normal((BATCH, 321, 4 * WINDOW))), jnp.float32
-        ),
-        vid_len=jnp.full((BATCH,), WINDOW, jnp.int32),
-        mel_len=jnp.full((BATCH,), 4 * WINDOW, jnp.int32),
+    modules, cfg, g_tx, d_tx, state, batch = train_fixture(
+        BATCH, WINDOW, _args.bf16
     )
-
-    if _args.compiler_opts:
-        opts = dict(kv.split("=", 1) for kv in _args.compiler_opts.split(","))
-        step_fn = step_fn.lower(state, batch, jax.random.PRNGKey(0)).compile(
-            compiler_options=opts
-        )
+    if _args.compiler_opts == "none":
+        copts = None
+    elif _args.compiler_opts:
+        copts = dict(kv.split("=", 1) for kv in _args.compiler_opts.split(","))
+    else:
+        copts = "auto"
+    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True,
+                              remat=_args.remat, compiler_options=copts)
 
     # compile + warmup
     t0 = time.perf_counter()

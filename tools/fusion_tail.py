@@ -27,37 +27,17 @@ from vcagan.runtime import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 
 
 def build_compiled(batch_size: int, window: int, bf16: bool):
-    from vcagan.configs import ModelConfig, TrainConfig
-    from vcagan.train import Batch, VCAGANModules, create_train_state, make_train_step
-    from vcagan.train.state import make_optimizer
+    from vcagan.train import make_train_step
 
-    modules = VCAGANModules.create(ModelConfig(use_bfloat16=bf16))
-    cfg = TrainConfig()
-    mk = lambda: make_optimizer(
-        cfg.lr, cfg.weight_decay, cfg.amsgrad, cfg.lr_milestones, cfg.lr_gamma, 100
+    from _fixtures import train_fixture
+
+    modules, cfg, g_tx, d_tx, state, batch = train_fixture(
+        batch_size, window, bf16
     )
-    state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 100)
-    step_fn = make_train_step(modules, mk(), mk(), cfg, donate=False)
-    rng = np.random.default_rng(0)
-    batch = Batch(
-        video=jnp.asarray(
-            rng.standard_normal((batch_size, window, 112, 112, 1)), jnp.float32
-        ),
-        mel=jnp.asarray(
-            np.clip(rng.standard_normal((batch_size, 80, 4 * window)), -1, 1),
-            jnp.float32,
-        ),
-        spec=jnp.asarray(
-            np.abs(rng.standard_normal((batch_size, 321, 4 * window))), jnp.float32
-        ),
-        vid_len=jnp.full((batch_size,), window, jnp.int32),
-        mel_len=jnp.full((batch_size,), 4 * window, jnp.int32),
-    )
+    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=False)
     return step_fn.lower(state, batch, jax.random.PRNGKey(0)).compile()
 
 
@@ -69,17 +49,21 @@ _DTYPE_BYTES = {
 
 
 def _out_bytes(line: str) -> int:
-    """Bytes of the instruction's output tuple (shapes before ' = ')."""
-    head = line.split(" = ", 1)[0] if " = " in line else line
-    # the root shape annotation actually sits AFTER '=' in HLO text:
-    #   %name = f32[16,40,...]{...} fusion(...)
+    """Bytes of the instruction's output tuple.
+
+    The output shape annotation sits after '=' in HLO text
+    (``%name = f32[16,40,...]{...} fusion(...)``); shapes are taken up to
+    the opcode's '(' argument list so operand shapes never count.
+    """
     body = line.split(" = ", 1)[1] if " = " in line else line
-    total = 0
-    # take shapes up to the opcode's '(' argument list
     m = re.match(r"\(?([^()]*?)\)?\s*(fusion|copy|convolution|dot|custom-call|"
-                 r"reduce|transpose|bitcast|all-reduce|scatter|dynamic-slice|"
-                 r"dynamic-update-slice|.*?)\(", body)
+                 r"reduce|reduce-window|transpose|bitcast|all-reduce|scatter|"
+                 r"dynamic-slice|dynamic-update-slice|rng-bit-generator)\(",
+                 body)
+    # no anchored opcode -> conservatively scan only the line head, which
+    # holds at most the output tuple
     shapes_str = m.group(1) if m else body[:120]
+    total = 0
     for dt, dims in _SHAPE.findall(shapes_str):
         n = 1
         if dims:
@@ -87,7 +71,6 @@ def _out_bytes(line: str) -> int:
                 if d:
                     n *= int(d)
         total += n * _DTYPE_BYTES[dt]
-    del head
     return total
 
 

@@ -97,42 +97,15 @@ def flagship_inference(results):
 
 
 def train_step(results, batch_size, window, bf16, remat="none"):
-    from vcagan.configs import ModelConfig, TrainConfig
-    from vcagan.train import (
-        Batch,
-        VCAGANModules,
-        create_train_state,
-        make_train_step,
-    )
-    from vcagan.train.state import make_optimizer
+    from vcagan.train import make_train_step
 
-    modules = VCAGANModules.create(ModelConfig(use_bfloat16=bf16))
-    cfg = TrainConfig()
-    g_tx = make_optimizer(
-        cfg.lr, cfg.weight_decay, cfg.amsgrad, cfg.lr_milestones, cfg.lr_gamma, 100
+    from _fixtures import train_fixture
+
+    modules, cfg, g_tx, d_tx, state, batch = train_fixture(
+        batch_size, window, bf16
     )
-    d_tx = make_optimizer(
-        cfg.lr, cfg.weight_decay, cfg.amsgrad, cfg.lr_milestones, cfg.lr_gamma, 100
-    )
-    state, _, _ = create_train_state(jax.random.PRNGKey(0), modules, cfg, 100)
     # donate=False so the same state can be passed repeatedly for timing
     step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=False, remat=remat)
-
-    rng = np.random.default_rng(0)
-    batch = Batch(
-        video=jnp.asarray(
-            rng.standard_normal((batch_size, window, 112, 112, 1)), jnp.float32
-        ),
-        mel=jnp.asarray(
-            np.clip(rng.standard_normal((batch_size, 80, 4 * window)), -1, 1),
-            jnp.float32,
-        ),
-        spec=jnp.asarray(
-            np.abs(rng.standard_normal((batch_size, 321, 4 * window))), jnp.float32
-        ),
-        vid_len=jnp.full((batch_size,), window, jnp.int32),
-        mel_len=jnp.full((batch_size,), 4 * window, jnp.int32),
-    )
 
     compiled = step_fn.lower(state, batch, jax.random.PRNGKey(0)).compile()
     flops, bytes_acc = _cost(compiled)

@@ -33,7 +33,10 @@ import sys
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 VARIANTS = {
-    "baseline": "",
+    # make_train_step ships measured options by default, so the sweep's
+    # baseline must explicitly compile with NO options ('none') to stay
+    # an uncontaminated compiler-default row
+    "baseline": "none",
     # larger scoped-vmem budget lets the fusion emitter build bigger
     # fusions before spilling (default is 16 MiB-ish on v5e)
     "vmem_64m": "xla_tpu_scoped_vmem_limit_kib=65536",
@@ -53,8 +56,7 @@ _RE = re.compile(r"([0-9.]+) clips/s")
 
 def run_variant(name: str, opts: str, bench_args) -> dict:
     cmd = [sys.executable, os.path.join(HERE, "bench_train.py")] + bench_args
-    if opts:
-        cmd += ["--compiler_opts", opts]
+    cmd += ["--compiler_opts", opts]
     try:
         out = subprocess.run(cmd, capture_output=True, text=True, timeout=1200)
     except subprocess.TimeoutExpired:

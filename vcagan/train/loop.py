@@ -300,6 +300,12 @@ class Trainer:
 
         losses, stois, estois, pesqs = [], [], [], []
         stois_mel, estois_mel, pesqs_mel = [], [], []
+        # the val dataset is cached across calls (worker pool reuse), so
+        # reset its shuffle rng each pass: every fast validation scores
+        # the IDENTICAL subset, keeping Best_* checkpoint comparisons and
+        # metric curves subset-noise-free (the rebuild-per-call semantics
+        # this cache replaced)
+        val_ds.rng = np.random.default_rng(0)
         for i, raw in enumerate(val_ds.epoch(bs, shuffle=fast, drop_last=False)):
             if i >= limit:
                 break
@@ -347,19 +353,41 @@ class Trainer:
             # mel path: inverse_mel(g3) (reference train.py:389)
             wav_mel = self.pipeline.inverse_mel(mel_in, k_gl)
             wav_gt = jnp.asarray(raw["wav"])[:, : wav_pred.shape[1]]
-            stois.append(np.asarray(stoi_batch(wav_gt, wav_pred))[:nv])
+            wav_mel_t = wav_mel[:, : wav_gt.shape[1]]
+            lens = None
+            if self.is_lrs:
+                # score each padded variable-length clip at its own length
+                # (exclusive pystoi framing at the TRUE length, zeros past
+                # it) — same convention as cli/test_lrs.py
+                n_wav = np.minimum(
+                    np.asarray(raw["mel_len"]) * self.config.audio.hop_length,
+                    wav_pred.shape[1],
+                )
+                ok = jnp.arange(wav_pred.shape[1])[None, :] < jnp.asarray(
+                    n_wav
+                )[:, None]
+                wav_pred = jnp.where(ok, wav_pred, 0.0)
+                wav_mel_t = jnp.where(ok, wav_mel_t, 0.0)
+                wav_gt = jnp.where(ok, wav_gt, 0.0)
+                lens = jnp.asarray(n_wav)
+            stois.append(np.asarray(stoi_batch(wav_gt, wav_pred, lengths=lens))[:nv])
             estois.append(
-                np.asarray(stoi_batch(wav_gt, wav_pred, extended=True))[:nv]
+                np.asarray(
+                    stoi_batch(wav_gt, wav_pred, extended=True, lengths=lens)
+                )[:nv]
             )
             pesqs.append(
                 np.asarray(
                     pesq_batch(np.asarray(wav_gt), np.asarray(wav_pred), fs=16_000)
                 )[:nv]
             )
-            wav_mel_t = wav_mel[:, : wav_gt.shape[1]]
-            stois_mel.append(np.asarray(stoi_batch(wav_gt, wav_mel_t))[:nv])
+            stois_mel.append(
+                np.asarray(stoi_batch(wav_gt, wav_mel_t, lengths=lens))[:nv]
+            )
             estois_mel.append(
-                np.asarray(stoi_batch(wav_gt, wav_mel_t, extended=True))[:nv]
+                np.asarray(
+                    stoi_batch(wav_gt, wav_mel_t, extended=True, lengths=lens)
+                )[:nv]
             )
             pesqs_mel.append(
                 np.asarray(

@@ -82,6 +82,7 @@ def make_train_step(
     sync_leak: bool = True,
     mesh=None,
     remat: str = "none",
+    compiler_options="auto",
 ):
     """Build the jitted GAN train step.
 
@@ -107,6 +108,11 @@ def make_train_step(
     discriminators and resolves the conflict with their replicated params
     by involuntary full rematerialization in the D backward.  The pin
     makes the attention all-gather happen once, where it belongs.
+
+    ``compiler_options``: ``"auto"`` (default) applies the measured TPU
+    options (``_tpu_compiler_options``); ``None`` compiles with the raw
+    compiler defaults (the sweep's uncontaminated baseline); a dict is
+    passed through verbatim.
     """
     cfg = config or TrainConfig()
 
@@ -123,7 +129,12 @@ def make_train_step(
         def _pin(x):
             return x
 
-    remat_sites = set(filter(None, remat.split(",")))
+    remat_sites = {tok.strip() for tok in remat.split(",") if tok.strip()}
+    unknown = remat_sites - {"none", "vfront", "r1"}
+    if unknown:
+        raise ValueError(
+            f"unknown remat site(s) {sorted(unknown)}; valid: none, vfront, r1"
+        )
 
     def _vf_apply(params, stats, video, dropout_key):
         return modules.v_front.apply(
@@ -336,10 +347,12 @@ def make_train_step(
         return new_state, metrics
 
     donate_argnums = (0,) if donate else ()
+    if compiler_options == "auto":
+        compiler_options = _tpu_compiler_options()
     return jax.jit(
         train_step,
         donate_argnums=donate_argnums,
-        compiler_options=_tpu_compiler_options(),
+        compiler_options=compiler_options,
     )
 
 
