@@ -89,6 +89,22 @@ class TestTrainStep:
                 err_msg=f"metric {k} diverged under remat",
             )
 
+    def test_unknown_remat_token_raises(self, setup):
+        """A typoed --remat (e.g. 'R1', ' r1' survives stripping, 'r-1')
+        must fail loudly instead of silently running un-remated."""
+        import pytest
+
+        modules, state, step_fn = setup
+        cfg = TrainConfig(lr=1e-4, weight_decay=1e-5)
+        mk = lambda: make_optimizer(
+            cfg.lr, cfg.weight_decay, cfg.amsgrad, cfg.lr_milestones,
+            cfg.lr_gamma, 10,
+        )
+        with pytest.raises(ValueError, match="unknown remat"):
+            make_train_step(modules, mk(), mk(), cfg, remat="R1")
+        # whitespace around valid tokens is tolerated
+        make_train_step(modules, mk(), mk(), cfg, remat="vfront, r1")
+
     def test_vfront_receives_sync_leak(self, setup):
         """Differential pin of the reference's deliberate D-phase gradient
         leak into v_front (train.py:210 'accumulate v_front grad'): the
