@@ -63,10 +63,11 @@ class TestTrainStep:
         assert max_delta(state.g_params, new_state.g_params) > 0
         assert max_delta(state.d_params, new_state.d_params) > 0
 
-    def test_remat_is_semantics_preserving(self, setup):
-        """Selective rematerialization (remat='vfront,r1') must reproduce
-        the baseline step's metrics exactly — jax.checkpoint only changes
-        WHEN activations are (re)computed, never what."""
+    @pytest.mark.parametrize("sites", ["vfront,r1", "stem,r1"])
+    def test_remat_is_semantics_preserving(self, setup, sites):
+        """Selective rematerialization must reproduce the baseline step's
+        metrics exactly — jax.checkpoint only changes WHEN activations are
+        (re)computed, never what."""
         modules, state, step_fn = setup
         cfg = TrainConfig(lr=1e-4, weight_decay=1e-5)
         mk = lambda: make_optimizer(
@@ -74,7 +75,7 @@ class TestTrainStep:
             cfg.lr_gamma, 10,
         )
         remat_fn = make_train_step(
-            modules, mk(), mk(), cfg, donate=False, remat="vfront,r1"
+            modules, mk(), mk(), cfg, donate=False, remat=sites
         )
         batch = tiny_batch()
         _, m0 = step_fn(state, batch, jax.random.PRNGKey(42))
@@ -102,6 +103,9 @@ class TestTrainStep:
         )
         with pytest.raises(ValueError, match="unknown remat"):
             make_train_step(modules, mk(), mk(), cfg, remat="R1")
+        # vfront subsumes stem; combining them is a config error
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            make_train_step(modules, mk(), mk(), cfg, remat="vfront,stem")
         # whitespace around valid tokens is tolerated
         make_train_step(modules, mk(), mk(), cfg, remat="vfront, r1")
 

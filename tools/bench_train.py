@@ -22,7 +22,7 @@ _p.add_argument("--batch", type=int, default=16)
 _p.add_argument("--window", type=int, default=40)
 _p.add_argument("--bf16", action="store_true")
 _p.add_argument("--remat", type=str, default="none",
-                help="selective remat sites: none | vfront | r1 | vfront,r1")
+                help="selective remat sites: none | vfront | stem | r1, comma-separable")
 _p.add_argument("--compiler_opts", type=str, default="",
                 help="'none' = raw compiler defaults (no options), "
                      "'' = the shipped make_train_step defaults, or a "

@@ -53,8 +53,8 @@ def parse_args(argv=None):
                    help="bfloat16 compute in conv/matmul-heavy modules "
                         "(params and losses stay fp32; ~25%% more clips/s)")
     p.add_argument("--remat", type=str, default="none",
-                   help="selective remat sites (none|r1|vfront|vfront,r1); "
-                        "r1 unlocks bf16 batch 64 on one chip")
+                   help="selective remat sites (none|r1|stem|vfront, comma-separable); "
+                        "stem,r1 unlocks bf16 batch 112 on one chip (173.4 clips/s)")
     return p.parse_args(argv)
 
 

@@ -123,12 +123,18 @@ class TrainConfig:
     recon_on_denormalized: bool = True  # False for LRS
     checkpoint_dir: str = "./data/checkpoints/GRID"
     workers: int = 6
-    # Selective rematerialization sites ("none" | "r1" | "vfront" |
-    # "vfront,r1").  "r1" checkpoints the discriminator forward inside the
-    # R1 penalty — measured to unlock bf16 batch 64 on one v5e chip at
-    # 142.4 clips/s (vs 139 at batch 32; batch 64 OOMs without it), see
-    # tools/bench_train.py.  "vfront" trades much more recompute and
-    # measured ~25% slower at every shape — available for memory-starved
+    # Selective rematerialization sites ("none" | "r1" | "stem" |
+    # "vfront", comma-separable; vfront and stem are mutually exclusive).
+    # "r1" checkpoints the discriminator forward inside the R1 penalty —
+    # measured to unlock bf16 batch 64+ on one v5e chip (batch 64 OOMs
+    # without it), see tools/bench_train.py.  "stem" checkpoints the
+    # conv/BN/PReLU/maxpool stem chain inside the visual front (nn.remat)
+    # so only the 4x-smaller pooled output stays live — slightly slower
+    # than the compiler's auto-remat where both fit (160.6 vs 168.9
+    # clips/s at bf16 batch 96) but the only recipe that fits batch 112,
+    # the single-chip record (173.4 clips/s, "stem,r1").  "vfront" trades
+    # much more recompute and measured
+    # ~25% slower at every shape — available for memory-starved
     # configurations only.
     remat: str = "none"
 

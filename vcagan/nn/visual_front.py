@@ -55,29 +55,44 @@ class VisualFront(nn.Module):
 
     @nn.compact
     def __call__(
-        self, video: jax.Array, train: bool = True
+        self, video: jax.Array, train: bool = True, remat_stem: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
         # video: (B, T, H, W, 1)
         b, t = video.shape[0], video.shape[1]
 
         # 3D stem: k(5,7,7) s(1,2,2) + BN + PReLU + maxpool (1,3,3)/(1,2,2)
         # (reference visual_front.py:10-15): 112 -> 56 -> 28.
-        x = StemConv(self.stem_channels, dtype=self.dtype, name="stem_conv")(video)
-        x = batch_norm(train, "stem_bn")(x)
-        x = PReLU(self.stem_channels, name="stem_act")(x)
-        # NOTE: rewriting this pool as an elementwise max over the 9
-        # strided window taps (to avoid select_and_scatter in the backward,
-        # ~7.6 ms/step) was measured and REJECTED: that backward
-        # materializes several (B,T,58,58,64) zero-padded grad accumulators
-        # at 2x layout padding (~1 GB each at the GRID train shape) and
-        # OOMs hbm; reduce_window's select_and_scatter is the better
-        # memory/time trade on v5e.
-        x = nn.max_pool(
-            x,
-            window_shape=(1, 3, 3),
-            strides=(1, 2, 2),
-            padding=((0, 0), (1, 1), (1, 1)),
-        )
+        def _stem(mdl, v):
+            y = StemConv(
+                mdl.stem_channels, dtype=mdl.dtype, name="stem_conv"
+            )(v)
+            y = batch_norm(train, "stem_bn")(y)
+            y = PReLU(mdl.stem_channels, name="stem_act")(y)
+            # NOTE: rewriting this pool as an elementwise max over the 9
+            # strided window taps (to avoid select_and_scatter in the
+            # backward, ~7.6 ms/step) was measured and REJECTED: that
+            # backward materializes several (B,T,58,58,64) zero-padded grad
+            # accumulators at 2x layout padding (~1 GB each at the GRID
+            # train shape) and OOMs hbm; reduce_window's select_and_scatter
+            # is the better memory/time trade on v5e.
+            return nn.max_pool(
+                y,
+                window_shape=(1, 3, 3),
+                strides=(1, 2, 2),
+                padding=((0, 0), (1, 1), (1, 1)),
+            )
+
+        # The three 56x56x64 stem intermediates (conv/BN/PReLU outputs, BN
+        # in fp32 even under bf16 compute) are the single largest residual
+        # group in the train step (3x ~2 GB at bf16 batch 64).  The "stem"
+        # remat site (train/step.py) checkpoints the whole chain so only
+        # the 4x-smaller pooled output stays live; the backward recomputes
+        # the cheap conv/BN/act/pool forward.  (A policy-based
+        # save_anything_except_these_names remat over the whole visual
+        # front was measured and REJECTED: forcing every OTHER intermediate
+        # saveable more than doubled peak HBM, 12.8G -> >31G at b64.)
+        stem = nn.remat(_stem) if remat_stem else _stem
+        x = stem(self, video)
 
         # Per-frame trunk on a (B*T, 28, 28, 64) mega-batch.
         h, w, c = x.shape[2], x.shape[3], x.shape[4]

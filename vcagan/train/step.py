@@ -97,9 +97,20 @@ def make_train_step(
     recompute FLOPs for HBM traffic (the fp32 step measures 87% HBM
     bandwidth utilization at 23% MFU — tools/mfu_report.py — so the trade
     has headroom).  ``"vfront"`` checkpoints the visual front (its stem /
-    ResNet activations are the largest residuals); ``"r1"`` checkpoints
-    the discriminator forward inside the R1 gradient penalty (the
-    second-order path).  ``"none"`` (default) stores everything.
+    ResNet activations are the largest residuals); ``"stem"`` checkpoints
+    only the conv/BN/PReLU/maxpool stem chain inside the visual front
+    (nn.remat in nn/visual_front.py) so just the 4x-smaller pooled output
+    stays live — far less recompute than ``"vfront"``; where both fit the
+    TPU compiler's own auto-remat is slightly faster (168.9 vs 160.6
+    clips/s at bf16 batch 96) but ``"stem,r1"`` is the only recipe that
+    fits batch 112, the single-chip record (173.4 clips/s; see
+    tools/bench_train.py); ``"r1"``
+    checkpoints the discriminator forward inside the R1 gradient penalty
+    (the second-order path).  ``"none"`` (default) stores everything.
+    (A policy-based ``save_anything_except_these_names`` remat over the
+    whole visual front was measured and REJECTED: forcing every OTHER
+    intermediate saveable more than doubled peak HBM, 12.8G -> >31G at
+    bf16 batch 64.)
 
     ``mesh``: when training sharded, pass the (data, model) Mesh so the
     generator-side outputs are pinned to batch-only sharding at the
@@ -130,10 +141,16 @@ def make_train_step(
             return x
 
     remat_sites = {tok.strip() for tok in remat.split(",") if tok.strip()}
-    unknown = remat_sites - {"none", "vfront", "r1"}
+    unknown = remat_sites - {"none", "vfront", "stem", "r1"}
     if unknown:
         raise ValueError(
-            f"unknown remat site(s) {sorted(unknown)}; valid: none, vfront, r1"
+            f"unknown remat site(s) {sorted(unknown)}; "
+            "valid: none, vfront, stem, r1"
+        )
+    if {"vfront", "stem"} <= remat_sites:
+        raise ValueError(
+            "remat sites 'vfront' and 'stem' are mutually exclusive "
+            "('vfront' already drops everything 'stem' drops)"
         )
 
     def _vf_apply(params, stats, video, dropout_key):
@@ -141,6 +158,7 @@ def make_train_step(
             {"params": params, "batch_stats": stats},
             video,
             train=True,
+            remat_stem="stem" in remat_sites,
             mutable=["batch_stats"],
             rngs={"dropout": dropout_key},
         )
