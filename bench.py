@@ -22,9 +22,13 @@ import numpy as np
 
 TORCH_CPU_BASELINE = 151.9  # mel-frames/sec; tools/measure_torch_baseline.py
 
-BATCH = 32  # v5e throughput sweet spot (batch sweep in round 1; the
-# absolute numbers have since moved — s2d stem conv took the headline
-# from ~70k to ~85k mel-frames/s — but the 16/32/64 ordering held)
+BATCH = 48  # v5e throughput sweet spot for the bf16 serving config
+# (tools/bench_infer_sweep.py, 2026-08-18: fp32 b16/32/48/64 = 80.6/84.4/
+# 86.9/84.2k; bf16 b32/48/64 = 95.6/98.8/95.3k mel-frames/s, b96 OOMs in
+# the fp32 stem activation).
+BF16 = True  # bf16 serving mode: conv/matmul compute in bfloat16, params
+# and the Griffin-Lim vocoder stay fp32 (quality pinned by
+# tests/test_bf16_and_lrs_train.py::test_bf16_serving_composed_path_quality)
 FRAMES = 75
 MEL_FRAMES = 4 * FRAMES
 
@@ -33,11 +37,11 @@ def build():
     from vcagan.runtime import enable_compilation_cache
 
     enable_compilation_cache()
-    from vcagan.configs import AudioConfig
+    from vcagan.configs import AudioConfig, ModelConfig
     from vcagan.dsp import MelPipeline
     from vcagan.train import VCAGANModules
 
-    modules = VCAGANModules.create()
+    modules = VCAGANModules.create(ModelConfig(use_bfloat16=BF16))
     params, batch_stats = modules.init_all(
         jax.random.PRNGKey(0), batch_size=2, video_frames=20, image_size=48
     )
@@ -65,8 +69,9 @@ def build():
             train=False,
         )
         # raw postnet output, unclamped, like the reference test path
-        # (test.py:143) and vcagan.cli.test
-        spec = jnp.swapaxes(gs, 1, 2)  # (B, T, 321)
+        # (test.py:143) and vcagan.cli.test; Griffin-Lim stays fp32 (the
+        # 640-pt windowed-DFT matmuls cost the same in fp32 — CLAUDE.md)
+        spec = jnp.swapaxes(gs, 1, 2).astype(jnp.float32)  # (B, T, 321)
         wav = pipe.inverse_spec(spec, rng)
         return wav
 

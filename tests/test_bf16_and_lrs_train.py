@@ -49,6 +49,71 @@ class TestBf16:
         leaves = jax.tree.leaves(params)
         assert all(l.dtype == jnp.float32 for l in leaves)
 
+    def test_bf16_serving_composed_path_quality(self):
+        """The bf16 SERVING MODE (cli/test.py --bf16, bench.py): the full
+        composed inference path — visual front -> generator -> postnet ->
+        fp32 Griffin-Lim — run in bf16 compute must stay perceptually
+        equivalent to the fp32 path on the SAME fp32 params and the SAME
+        injected generator noise.  Pinned as mel correlation plus
+        STOI(wav_fp32, wav_bf16): STOI of a signal against a copy is ~1.0,
+        so a high score bounds the perceptual drift of the dtype switch.
+        The STOI bound is loose (0.85) because the net is UNTRAINED: its
+        noise-like spectrograms make Griffin-Lim's phase recovery chaotic,
+        amplifying sub-1% magnitude differences (measured ~0.90 here); on
+        trained speech content the same mel agreement scores far higher."""
+        from vcagan.configs import AudioConfig
+        from vcagan.dsp import MelPipeline
+        from vcagan.eval.stoi_np import stoi_np
+
+        pipe = MelPipeline(AudioConfig())
+        rng = np.random.default_rng(3)
+        video = jnp.asarray(rng.standard_normal((B, W, HW, HW, 1)), jnp.float32)
+        vid_len = jnp.full((B,), W, jnp.int32)
+        # one fp32 noise draw injected into BOTH paths so rng dtype
+        # differences can't leak into the comparison
+        noise = jnp.asarray(rng.standard_normal((B, 20, W, 128)), jnp.float32)
+
+        params = stats = None
+        mels, wavs, specs = {}, {}, {}
+        for bf16 in (False, True):
+            modules = VCAGANModules.create(ModelConfig(use_bfloat16=bf16))
+            if params is None:
+                params, stats = modules.init_all(jax.random.PRNGKey(0), B, W, HW)
+            phon, sent = modules.v_front.apply(
+                {"params": params["v_front"], "batch_stats": stats["v_front"]},
+                video,
+                train=False,
+            )
+            _, _, g3 = modules.gen.apply(
+                {"params": params["gen"], "batch_stats": stats["gen"]},
+                sent,
+                phon,
+                vid_len,
+                train=False,
+                noise=noise,
+            )
+            gs = modules.post.apply(
+                {"params": params["post"], "batch_stats": stats["post"]},
+                g3,
+                train=False,
+            )
+            spec = jnp.swapaxes(gs, 1, 2).astype(jnp.float32)
+            wavs[bf16] = np.asarray(pipe.inverse_spec(spec, jax.random.PRNGKey(5)))
+            mels[bf16] = np.asarray(g3, np.float32)
+            specs[bf16] = np.asarray(spec, np.float32)
+
+        corr = np.corrcoef(mels[False].ravel(), mels[True].ravel())[0, 1]
+        assert corr > 0.99, corr
+        # deterministic magnitude-level pin: Griffin-Lim only consumes the
+        # linear spec, so a small relative L2 here bounds the vocoder input
+        rel = np.linalg.norm(specs[True] - specs[False]) / np.linalg.norm(
+            specs[False]
+        )
+        assert rel < 0.05, rel
+        for b in range(B):
+            s = stoi_np(wavs[False][b], wavs[True][b], 16_000)
+            assert s > 0.85, (b, s)
+
 
 class TestLRSTrainConfig:
     def test_one_step_with_lrs_losses(self):

@@ -54,6 +54,10 @@ def parse_args(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set before device use")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode: conv/matmul compute in bfloat16 "
+                        "(params and the Griffin-Lim vocoder stay fp32; "
+                        "quality pinned by tests/test_bf16_and_lrs_train.py)")
     return p.parse_args(argv)
 
 
@@ -72,6 +76,7 @@ def main(argv=None):
             "data.max_v_timesteps": args.max_timesteps,
             "data.augmentations": False,
             "model.sync_temp": args.temp,
+            "model.use_bfloat16": args.bf16,
         }
     )
 

@@ -60,6 +60,10 @@ def parse_args(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set before device use")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 serving mode: conv/matmul compute in bfloat16 "
+                        "(params and the Griffin-Lim vocoder stay fp32; "
+                        "build_config picks this up via getattr)")
     return p.parse_args(argv)
 
 

@@ -47,7 +47,7 @@ class AudioFront(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        x = batch_norm(train, "bn1")(x)
+        x = batch_norm(train, "bn1", self.dtype)(x)
         x = PReLU(self.ch1, name="act1")(x)
         x = nn.Conv(
             self.ch2,
@@ -57,7 +57,7 @@ class AudioFront(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(x)
-        x = batch_norm(train, "bn2")(x)
+        x = batch_norm(train, "bn2", self.dtype)(x)
         x = PReLU(self.ch2, name="act2")(x)
         x = BasicBlock(
             self.ch2, relu_type=self.res_relu_type, dtype=self.dtype, name="res"

@@ -43,13 +43,23 @@ def kaiming_conv_init() -> Callable:
     return nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
-def batch_norm(train: bool, name: str | None = None) -> nn.BatchNorm:
+def batch_norm(
+    train: bool, name: str | None = None, dtype: jnp.dtype | None = None
+) -> nn.BatchNorm:
     """BatchNorm with torch-equivalent momentum/eps (momentum 0.1 torch ==
-    0.9 flax EMA decay)."""
+    0.9 flax EMA decay).
+
+    ``dtype`` is the flax compute/output dtype: under bf16 compute it keeps
+    activations in bfloat16 THROUGH the norm instead of promoting every
+    post-conv tensor back to fp32 (flax still computes the batch statistics
+    in fp32 internally, and scale/bias/running stats stay fp32 params).
+    The stem's (B,T,56,56,64) post-BN tensors are the largest activations
+    in the network, so the promotion doubled their HBM traffic."""
     return nn.BatchNorm(
         use_running_average=not train,
         momentum=0.9,
         epsilon=1e-5,
+        dtype=dtype,
         name=name,
     )
 

@@ -158,12 +158,12 @@ class SyncDiscriminator(nn.Module):
         x = nn.Conv(
             128, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv1"
         )(x)
-        x = batch_norm(train, "bn1")(x)
+        x = batch_norm(train, "bn1", self.dtype)(x)
         x = PReLU(128, name="act1")(x)
         x = nn.Conv(
             256, (3, 3), strides=(2, 2), padding=1, dtype=self.dtype, name="conv2"
         )(x)
-        x = batch_norm(train, "bn2")(x)
+        x = batch_norm(train, "bn2", self.dtype)(x)
         x = PReLU(256, name="act2")(x)  # (B, S, 20, 256)
         # plain-ReLU BasicBlock (reference generator.py:332-334 uses the
         # relu_type='relu' default here, unlike the visual ResNet)

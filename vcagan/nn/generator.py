@@ -40,14 +40,14 @@ class GenResBlk(nn.Module):
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         in_channels = x.shape[-1]
 
-        h = batch_norm(train, "norm1")(x)
+        h = batch_norm(train, "norm1", self.dtype)(x)
         h = leaky_relu(h)
         if self.upsample:
             h = _nearest_up2(h)
         h = nn.Conv(
             self.out_channels, (5, 5), padding=2, dtype=self.dtype, name="conv1"
         )(h)
-        h = batch_norm(train, "norm2")(h)
+        h = batch_norm(train, "norm2", self.dtype)(h)
         h = leaky_relu(h)
         h = nn.Conv(
             self.out_channels, (5, 5), padding=2, dtype=self.dtype, name="conv2"
@@ -113,7 +113,7 @@ class _ToMel(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = batch_norm(train, "norm")(x)
+        x = batch_norm(train, "norm", self.dtype)(x)
         x = leaky_relu(x)
         x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv")(x)
         return jnp.tanh(x)[..., 0]  # (B, F, T)
@@ -220,7 +220,7 @@ class Postnet(nn.Module):
     def __call__(self, mel: jax.Array, train: bool = True) -> jax.Array:
         x = jnp.swapaxes(mel, 1, 2)  # (B, T, 80)
         x = nn.Conv(128, (7,), padding=3, dtype=self.dtype, name="conv_in")(x)
-        x = batch_norm(train, "bn_in")(x)
+        x = batch_norm(train, "bn_in", self.dtype)(x)
         x = leaky_relu(x)
         x = ResBlk1D(self.channels, dtype=self.dtype, name="res1")(x)
         x = ResBlk1D(self.channels, dtype=self.dtype, name="res2")(x)

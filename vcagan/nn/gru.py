@@ -97,6 +97,11 @@ class BiGRU(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         # x: (B, T, C) -> (B, T, 2H)
+        # The recurrence stays fp32 regardless of the surrounding compute
+        # dtype: it is sequential (rounding compounds over T steps), costs
+        # ~0.6 ms/step (profile note in CLAUDE.md), and its params are fp32
+        # — a bf16 carry would also break the scan's carry-dtype invariant.
+        x = x.astype(jnp.float32)
         for layer in range(self.num_layers):
             x = _BiGRULayer(
                 self.hidden, unroll=self.unroll, name=f"l{layer}"

@@ -41,7 +41,7 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
             name="conv1",
         )(x)
-        out = batch_norm(train, "bn1")(out)
+        out = batch_norm(train, "bn1", self.dtype)(out)
         out = self._act("act1", out)
         out = nn.Conv(
             self.planes,
@@ -52,7 +52,7 @@ class BasicBlock(nn.Module):
             dtype=self.dtype,
             name="conv2",
         )(out)
-        out = batch_norm(train, "bn2")(out)
+        out = batch_norm(train, "bn2", self.dtype)(out)
 
         residual = x
         if needs_proj:
@@ -66,7 +66,7 @@ class BasicBlock(nn.Module):
                 dtype=self.dtype,
                 name="down_conv",
             )(x)
-            residual = batch_norm(train, "down_bn")(residual)
+            residual = batch_norm(train, "down_bn", self.dtype)(residual)
 
         out = out + residual
         return self._act("act2", out)

@@ -66,7 +66,7 @@ class VisualFront(nn.Module):
             y = StemConv(
                 mdl.stem_channels, dtype=mdl.dtype, name="stem_conv"
             )(v)
-            y = batch_norm(train, "stem_bn")(y)
+            y = batch_norm(train, "stem_bn", mdl.dtype)(y)
             y = PReLU(mdl.stem_channels, name="stem_act")(y)
             # NOTE: rewriting this pool as an elementwise max over the 9
             # strided window taps (to avoid select_and_scatter in the
