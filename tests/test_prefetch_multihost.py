@@ -42,6 +42,29 @@ class TestPrefetch:
         assert first == 0
         assert len(produced) >= 3  # ran ahead of the consumer
 
+    def test_abandoned_consumer_releases_producer(self):
+        """Breaking out of an epoch (any bounded-step run) must terminate
+        the producer thread; the old code left it blocked on ``q.put``
+        forever, pinning a queue of batches (device buffers under
+        ``to_device``) per abandoned epoch."""
+        import threading
+
+        before = threading.active_count()
+        consumed = []
+
+        def gen():
+            for i in range(1000):
+                yield i
+
+        it = prefetch_iterator(gen(), depth=2)
+        consumed.append(next(it))
+        it.close()  # what GC / a `break` does
+
+        deadline = time.time() + 5.0
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before, "producer thread leaked"
+
     def test_parallel_epoch_over_dataset(self):
         from vcagan.configs import AudioConfig, DataConfig
         from vcagan.data import SyntheticLipSpeech

@@ -19,30 +19,53 @@ def prefetch_iterator(
     iterable: Iterable,
     depth: int = 2,
 ) -> Iterator:
-    """Wrap an iterator; a background thread keeps ``depth`` items ready."""
+    """Wrap an iterator; a background thread keeps ``depth`` items ready.
+
+    The producer shuts down when the consumer abandons the generator
+    (break / exception / GC): every ``put`` is a short-timeout poll against
+    a stop event set by the generator's ``finally``.  Without this, each
+    abandoned epoch (any bounded-step run) leaked a thread blocked forever
+    on ``q.put`` holding a full queue of batches — with ``to_device``
+    uploads those are device buffers, and a suite's worth of them starved
+    the 8-virtual-device CPU tests into rendezvous aborts."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     _END = object()
     errors = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        """Blocking put that gives up once the consumer is gone."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for item in iterable:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # surface in the consumer
             errors.append(e)
         finally:
-            q.put(_END)
+            _put(_END)
 
     thread = threading.Thread(target=producer, daemon=True)
     thread.start()
 
-    while True:
-        item = q.get()
-        if item is _END:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class ParallelEpoch:
