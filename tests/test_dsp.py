@@ -227,3 +227,41 @@ class TestGriffinLimMXU:
         m2 = jnp.abs(stft(rec, PARAMS))
         sc = float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
         assert sc < 0.25, sc
+
+    def test_bf16_gl_quality_vs_fp32(self):
+        """bf16 GL matmuls (the serving gl_dtype) converge as well as fp32.
+
+        GL's phase trajectory is chaotic, so waveforms diverge between the
+        dtypes — the meaningful comparison is GL's own objective (spectral
+        convergence of the reconstruction to the target magnitudes) and the
+        log-magnitude agreement of the two reconstructions."""
+        from vcagan.dsp.griffin_lim import griffin_lim_mxu
+
+        rng = np.random.default_rng(7)
+        sr, dur = 16000, 1.0
+        t = np.arange(int(sr * dur)) / sr
+        # multi-tone + noise floor: spectrally busier than a pure sine
+        y = (
+            0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.2 * np.sin(2 * np.pi * 1310 * t)
+            + 0.05 * rng.standard_normal(t.shape)
+        ).astype(np.float32)
+        mag = jnp.abs(stft(jnp.asarray(y)[None], PARAMS))
+
+        def sc_of(dtype, seed):
+            rec = griffin_lim_mxu(
+                mag, jax.random.PRNGKey(seed), PARAMS, 60, compute_dtype=dtype
+            )
+            m2 = jnp.abs(stft(rec, PARAMS))
+            sc = float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
+            return sc, np.asarray(m2)
+
+        sc32, m32 = sc_of(jnp.float32, 3)
+        sc16, m16 = sc_of(jnp.bfloat16, 3)
+        # bf16 must converge essentially as well as fp32
+        assert sc16 < sc32 * 1.2 + 0.02, (sc16, sc32)
+        # and the reconstructed magnitudes must agree closely in log domain
+        a = np.log(1e-5 + m32).ravel()
+        b = np.log(1e-5 + m16).ravel()
+        corr = np.corrcoef(a, b)[0, 1]
+        assert corr > 0.99, corr

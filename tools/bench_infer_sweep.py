@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(bf16: bool):
+def build(bf16: bool, gl_bf16: bool = False):
     from vcagan.configs import AudioConfig, ModelConfig
     from vcagan.dsp import MelPipeline
     from vcagan.train import VCAGANModules
@@ -56,7 +56,9 @@ def build(bf16: bool):
     )
     g_params = {k: params[k] for k in ("v_front", "gen", "post")}
     g_stats = {k: batch_stats[k] for k in ("v_front", "gen", "post")}
-    pipe = MelPipeline(AudioConfig())
+    pipe = MelPipeline(
+        AudioConfig(), gl_dtype=jnp.bfloat16 if gl_bf16 else jnp.float32
+    )
 
     def flagship(g_params, g_stats, video, vid_len, rng):
         phon, sent = modules.v_front.apply(
@@ -107,16 +109,23 @@ def main():
     p.add_argument("--batches", default="16,32,48,64")
     p.add_argument("--frames", type=int, default=75)
     p.add_argument("--dtypes", default="fp32,bf16")
+    p.add_argument(
+        "--gl",
+        default="fp32",
+        choices=["fp32", "bf16"],
+        help="Griffin-Lim matmul compute dtype (MelPipeline gl_dtype)",
+    )
     args = p.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
     for name in args.dtypes.split(","):
         bf16 = name == "bf16"
-        fn, g_params, g_stats = build(bf16)
+        fn, g_params, g_stats = build(bf16, gl_bf16=args.gl == "bf16")
         for b in batches:
             fps = measure(fn, g_params, g_stats, b, args.frames)
             print(
-                f"{name}  b{b:<3d} x {args.frames}f: {fps:10.1f} mel-frames/s",
+                f"{name}+gl_{args.gl}  b{b:<3d} x {args.frames}f: "
+                f"{fps:10.1f} mel-frames/s",
                 flush=True,
             )
 

@@ -88,9 +88,11 @@ def flagship_inference(results):
         fn, (g_params, g_stats, video, vid_len, key),
         readback=lambda w: jnp.sum(jnp.abs(w)),
     )
+    dtype_tag = "bf16" if getattr(bench, "BF16", False) else "fp32"
     results.append(
         _report(
-            "inference b32x75f fp32+GL", flops, bytes_acc, dt,
+            f"inference b{bench.BATCH}x{bench.FRAMES}f {dtype_tag}",
+            flops, bytes_acc, dt,
             f"({bench.BATCH * bench.MEL_FRAMES / dt:.0f} mel-frames/s)",
         )
     )

@@ -23,13 +23,21 @@ from vcagan.dsp.stft import STFTParams, stft_magnitude
 class MelPipeline:
     """Stateless (weights are constants) audio feature pipeline."""
 
-    def __init__(self, config: AudioConfig | None = None):
+    def __init__(self, config: AudioConfig | None = None, gl_dtype=None):
         self.config = config or AudioConfig()
         c = self.config
         self.stft_params = STFTParams(c.n_fft, c.hop_length, c.win_length)
         self.mel_basis = np.asarray(
             mel_filterbank(c.sample_rate, c.n_fft, c.n_mels, c.f_min, c.f_max)
         )  # (n_mels, n_linear)
+        # Griffin-Lim matmul compute dtype.  fp32 (the default) keeps the
+        # MXU windowed-DFT variant bit-equivalent to the FFT path — the
+        # torch-parity harness depends on that.  bf16 is the serving mode:
+        # at serving batch sizes the GL GEMMs are MXU-compute-bound and
+        # bf16 runs them in one pass instead of fp32's multi-pass; phase
+        # estimation is self-correcting (tests/test_dsp.py::test_bf16_converges,
+        # tests/test_bf16_and_lrs_train.py pin quality).
+        self.gl_dtype = jnp.float32 if gl_dtype is None else gl_dtype
 
     # ---------------------------------------------------------------- forward
 
@@ -106,7 +114,7 @@ class MelPipeline:
                 key,
                 self.stft_params,
                 self.config.griffin_lim_iters,
-                compute_dtype=jnp.float32,
+                compute_dtype=self.gl_dtype,
                 init_phase=init_phase,
             )
         else:
