@@ -37,6 +37,60 @@ class TestUmeyama:
         assert np.linalg.det(m[:, :2]) > 0
 
 
+class TestRefFaceTemplate:
+    """The vendored Ref_face.txt (byte-identical copy of the reference's
+    preprocess/Ref_face.txt) and its loader, which reproduces the
+    reference's parsing: frame 6 of the first track line
+    (reference Preprocess.py:38-49)."""
+
+    def test_vendored_template_loads(self):
+        from vcagan.cli.preprocess_grid import default_ref_face, load_ref_face
+
+        path = default_ref_face()
+        assert os.path.exists(path), "data/Ref_face.txt must be vendored"
+        ref = load_ref_face(path)
+        assert ref.shape == (98, 2)
+        # golden: first and last points of frame 6 of the reference track
+        # (computed by the reference's own parsing applied to the file)
+        with open(path) as f:
+            frame = f.readline().split(":")[-1].split("|")[6]
+        pts = np.asarray(
+            [[float(v) for v in p.split()] for p in frame.split(",")]
+        )
+        np.testing.assert_array_equal(ref, pts)
+        # landmarks live inside the 256^2 alignment canvas
+        assert ref.min() >= 0 and ref.max() < 256
+
+    def test_plain_table_format_still_loads(self, tmp_path):
+        from vcagan.cli.preprocess_grid import load_ref_face
+
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(0, 255, (98, 2))
+        p = tmp_path / "ref.txt"
+        np.savetxt(p, pts)
+        np.testing.assert_allclose(load_ref_face(str(p)), pts, rtol=1e-6)
+
+    def test_umeyama_matches_skimage_on_template(self):
+        """Cross-check vs skimage's SimilarityTransform.estimate (the exact
+        routine the reference calls, Preprocess.py:101-102).  Skip-gated:
+        activates the moment a skimage wheel exists in the image."""
+        skimage_transform = pytest.importorskip("skimage.transform")
+        from vcagan.cli.preprocess_grid import (
+            default_ref_face,
+            load_ref_face,
+            umeyama_similarity,
+        )
+
+        ref = load_ref_face(default_ref_face())
+        rng = np.random.default_rng(7)
+        src = ref * 1.13 + rng.standard_normal(ref.shape) * 2.0 + [9.0, -4.0]
+        tform = skimage_transform.SimilarityTransform()
+        tform.estimate(src, ref)
+        np.testing.assert_allclose(
+            umeyama_similarity(src, ref), tform.params[:2, :], atol=1e-9
+        )
+
+
 class TestHighpass:
     def test_removes_dc_keeps_speechband(self):
         sr = 16000

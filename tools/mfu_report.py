@@ -88,7 +88,10 @@ def flagship_inference(results):
         fn, (g_params, g_stats, video, vid_len, key),
         readback=lambda w: jnp.sum(jnp.abs(w)),
     )
-    dtype_tag = "bf16" if getattr(bench, "BF16", False) else "fp32"
+    # Griffin-Lim stays fp32 in bench.build() (MelPipeline default), so the
+    # bf16 tag is qualified — the fp32 vocoder fraction matters when
+    # interpreting MFU against the bf16 peak.
+    dtype_tag = "bf16+glfp32" if getattr(bench, "BF16", False) else "fp32"
     results.append(
         _report(
             f"inference b{bench.BATCH}x{bench.FRAMES}f {dtype_tag}",

@@ -58,19 +58,41 @@ def align_clip(
     return out
 
 
+def default_ref_face() -> str:
+    """The vendored landmark template (byte-identical copy of the
+    reference's preprocess/Ref_face.txt), resolved repo-relative."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    return os.path.normpath(os.path.join(here, "..", "..", "data", "Ref_face.txt"))
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--grid", default="GRID_dir", help="root with extracted frames")
     p.add_argument("--landmarks", required=False, default=None,
                    help="root with per-clip 98-pt landmark .npy/.txt files")
-    p.add_argument("--ref_face", required=False, default=None,
-                   help="reference face template (98 x,y rows)")
+    p.add_argument("--ref_face", required=False, default=default_ref_face(),
+                   help="reference face template (vendored Ref_face.txt, or a "
+                        "plain 98 x,y table)")
     p.add_argument("--out", default=None)
     p.add_argument("--jobs", type=int, default=3)
     return p.parse_args(argv)
 
 
 def load_ref_face(path: str) -> np.ndarray:
+    """Load the 98-pt reference landmarks.
+
+    Two formats are accepted:
+    - the reference's packed track file (``Ref_face.txt``): one line of
+      ``name:x y,x y,...|x y,...`` frames; frame index 6 of the first line
+      is the template (reference Preprocess.py:38-49)
+    - a plain whitespace table of 98 "x y" rows (np.loadtxt-able)
+    """
+    with open(path) as f:
+        first = f.readline()
+    if "|" in first or ":" in first:
+        frame = first.split(":")[-1].split("|")[6]
+        pts = [[float(v) for v in p.split()] for p in frame.split(",")]
+        return np.asarray(pts, dtype=float)
     pts = np.loadtxt(path)
     return pts.reshape(-1, 2)
 
@@ -120,8 +142,11 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     args = parse_args(argv)
-    if args.ref_face is None or args.landmarks is None:
-        print("need --ref_face template and --landmarks root")
+    if args.landmarks is None:
+        print("need --landmarks root")
+        return
+    if not os.path.exists(args.ref_face):
+        print(f"ref_face template not found: {args.ref_face}")
         return
     ref = load_ref_face(args.ref_face)
     clip_dirs = sorted(

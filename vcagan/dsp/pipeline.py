@@ -30,13 +30,16 @@ class MelPipeline:
         self.mel_basis = np.asarray(
             mel_filterbank(c.sample_rate, c.n_fft, c.n_mels, c.f_min, c.f_max)
         )  # (n_mels, n_linear)
-        # Griffin-Lim matmul compute dtype.  fp32 (the default) keeps the
-        # MXU windowed-DFT variant bit-equivalent to the FFT path — the
-        # torch-parity harness depends on that.  bf16 is the serving mode:
-        # at serving batch sizes the GL GEMMs are MXU-compute-bound and
-        # bf16 runs them in one pass instead of fp32's multi-pass; phase
-        # estimation is self-correcting (tests/test_dsp.py::test_bf16_converges,
-        # tests/test_bf16_and_lrs_train.py pin quality).
+        # Griffin-Lim matmul compute dtype.  fp32 (the default, and what
+        # every shipped serving path uses — bench.py, cli/test.py,
+        # train/loop.py all leave gl_dtype unset) keeps the MXU
+        # windowed-DFT variant bit-equivalent to the FFT path — the
+        # torch-parity harness depends on that.  bf16 is a CANDIDATE
+        # serving mode, opt-in via gl_dtype (tools/bench_gl_dtype.py
+        # measured it neutral at serving shapes, which is why it doesn't
+        # ship): phase estimation is self-correcting
+        # (tests/test_dsp.py::test_bf16_converges pins convergence,
+        # tests/test_bf16_and_lrs_train.py pins quality).
         self.gl_dtype = jnp.float32 if gl_dtype is None else gl_dtype
 
     # ---------------------------------------------------------------- forward
