@@ -3,6 +3,7 @@ from vcagan.nn.audio_front import AudioFront
 from vcagan.nn.discriminator import Discriminator, SyncDiscriminator
 from vcagan.nn.generator import Decoder, GenResBlk, Postnet, ResBlk1D
 from vcagan.nn.gru import BiGRU
+from vcagan.nn.fold import fold_conv_bn, fold_generator_side
 from vcagan.nn.losses import gan_loss, r1_penalty
 from vcagan.nn.resnet import BasicBlock, ResNetTrunk
 from vcagan.nn.visual_front import VisualFront
@@ -20,6 +21,8 @@ __all__ = [
     "ResNetTrunk",
     "SyncDiscriminator",
     "VisualFront",
+    "fold_conv_bn",
+    "fold_generator_side",
     "gan_loss",
     "r1_penalty",
 ]

@@ -215,12 +215,15 @@ class Postnet(nn.Module):
     channels: int = 256
     linear_bins: int = 321
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False  # serving: conv_in->bn_in pre-folded (nn/fold.py)
 
     @nn.compact
     def __call__(self, mel: jax.Array, train: bool = True) -> jax.Array:
+        assert not (self.fold_bn and train), "fold_bn is an eval-only mode"
         x = jnp.swapaxes(mel, 1, 2)  # (B, T, 80)
         x = nn.Conv(128, (7,), padding=3, dtype=self.dtype, name="conv_in")(x)
-        x = batch_norm(train, "bn_in", self.dtype)(x)
+        if not self.fold_bn:
+            x = batch_norm(train, "bn_in", self.dtype)(x)
         x = leaky_relu(x)
         x = ResBlk1D(self.channels, dtype=self.dtype, name="res1")(x)
         x = ResBlk1D(self.channels, dtype=self.dtype, name="res2")(x)

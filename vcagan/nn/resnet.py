@@ -19,15 +19,22 @@ from vcagan.nn.common import PReLU, batch_norm, kaiming_conv_init
 
 
 class BasicBlock(nn.Module):
-    """conv3x3 -> BN -> PReLU -> conv3x3 -> BN -> (+shortcut) -> PReLU."""
+    """conv3x3 -> BN -> PReLU -> conv3x3 -> BN -> (+shortcut) -> PReLU.
+
+    ``fold_bn``: serving mode — every conv -> BN pair is pre-folded into a
+    biased conv (vcagan.nn.fold), so the BN ops are skipped entirely.
+    Eval-only (asserted): folded params carry frozen statistics.
+    """
 
     planes: int
     stride: int = 1
     relu_type: str = "prelu"
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        assert not (self.fold_bn and train), "fold_bn is an eval-only mode"
         in_planes = x.shape[-1]
         needs_proj = self.stride != 1 or in_planes != self.planes
 
@@ -36,23 +43,25 @@ class BasicBlock(nn.Module):
             (3, 3),
             strides=(self.stride, self.stride),
             padding=1,
-            use_bias=False,
+            use_bias=self.fold_bn,
             kernel_init=kaiming_conv_init(),
             dtype=self.dtype,
             name="conv1",
         )(x)
-        out = batch_norm(train, "bn1", self.dtype)(out)
+        if not self.fold_bn:
+            out = batch_norm(train, "bn1", self.dtype)(out)
         out = self._act("act1", out)
         out = nn.Conv(
             self.planes,
             (3, 3),
             padding=1,
-            use_bias=False,
+            use_bias=self.fold_bn,
             kernel_init=kaiming_conv_init(),
             dtype=self.dtype,
             name="conv2",
         )(out)
-        out = batch_norm(train, "bn2", self.dtype)(out)
+        if not self.fold_bn:
+            out = batch_norm(train, "bn2", self.dtype)(out)
 
         residual = x
         if needs_proj:
@@ -61,12 +70,13 @@ class BasicBlock(nn.Module):
                 self.planes,
                 (1, 1),
                 strides=(self.stride, self.stride),
-                use_bias=False,
+                use_bias=self.fold_bn,
                 kernel_init=kaiming_conv_init(),
                 dtype=self.dtype,
                 name="down_conv",
             )(x)
-            residual = batch_norm(train, "down_bn", self.dtype)(residual)
+            if not self.fold_bn:
+                residual = batch_norm(train, "down_bn", self.dtype)(residual)
 
         out = out + residual
         return self._act("act2", out)
@@ -83,6 +93,7 @@ class ResNetTrunk(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     relu_type: str = "prelu"
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -94,6 +105,7 @@ class ResNetTrunk(nn.Module):
                     stride=first_stride if block == 0 else 1,
                     relu_type=self.relu_type,
                     dtype=self.dtype,
+                    fold_bn=self.fold_bn,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
         # Global spatial mean == AvgPool2d(4) on the final 4x4 map

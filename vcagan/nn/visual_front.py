@@ -33,6 +33,7 @@ class StemConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False  # True only in fold_bn serving mode
 
     @nn.compact
     def __call__(self, video: jax.Array) -> jax.Array:
@@ -41,7 +42,13 @@ class StemConv(nn.Module):
             nn.initializers.lecun_normal(),
             (5, 7, 7, 1, self.features),
         )
-        return s2d_stem_conv3d(video, kernel, self.dtype)
+        out = s2d_stem_conv3d(video, kernel, self.dtype)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            out = out + bias.astype(out.dtype)
+        return out
 
 
 class VisualFront(nn.Module):
@@ -52,11 +59,13 @@ class VisualFront(nn.Module):
     gru_dropout: float = 0.3
     frontend_dropout: float = 0.3
     dtype: jnp.dtype = jnp.float32
+    fold_bn: bool = False  # serving: conv->BN pairs pre-folded (nn/fold.py)
 
     @nn.compact
     def __call__(
         self, video: jax.Array, train: bool = True, remat_stem: bool = False
     ) -> Tuple[jax.Array, jax.Array]:
+        assert not (self.fold_bn and train), "fold_bn is an eval-only mode"
         # video: (B, T, H, W, 1)
         b, t = video.shape[0], video.shape[1]
 
@@ -64,9 +73,13 @@ class VisualFront(nn.Module):
         # (reference visual_front.py:10-15): 112 -> 56 -> 28.
         def _stem(mdl, v):
             y = StemConv(
-                mdl.stem_channels, dtype=mdl.dtype, name="stem_conv"
+                mdl.stem_channels,
+                dtype=mdl.dtype,
+                use_bias=mdl.fold_bn,
+                name="stem_conv",
             )(v)
-            y = batch_norm(train, "stem_bn", mdl.dtype)(y)
+            if not mdl.fold_bn:
+                y = batch_norm(train, "stem_bn", mdl.dtype)(y)
             y = PReLU(mdl.stem_channels, name="stem_act")(y)
             # NOTE: rewriting this pool as an elementwise max over the 9
             # strided window taps (to avoid select_and_scatter in the
@@ -97,7 +110,9 @@ class VisualFront(nn.Module):
         # Per-frame trunk on a (B*T, 28, 28, 64) mega-batch.
         h, w, c = x.shape[2], x.shape[3], x.shape[4]
         x = x.reshape(b * t, h, w, c)
-        x = ResNetTrunk(dtype=self.dtype, name="resnet")(x, train)  # (B*T, 512)
+        x = ResNetTrunk(
+            dtype=self.dtype, fold_bn=self.fold_bn, name="resnet"
+        )(x, train)  # (B*T, 512)
         x = nn.Dropout(self.frontend_dropout, deterministic=not train)(x)
         phon = x.reshape(b, t, self.feature_dim)
 

@@ -38,7 +38,12 @@ class VCAGANModules:
     s_dis: SyncDiscriminator
 
     @classmethod
-    def create(cls, config: ModelConfig | None = None) -> "VCAGANModules":
+    def create(
+        cls, config: ModelConfig | None = None, fold_bn: bool = False
+    ) -> "VCAGANModules":
+        """``fold_bn=True`` builds the eval-only serving variant whose
+        conv->BN pairs are pre-folded into biased convs; apply it with
+        params transformed by ``vcagan.nn.fold.fold_generator_side``."""
         m = config or ModelConfig()
         dtype = jnp.bfloat16 if m.use_bfloat16 else jnp.float32
         return cls(
@@ -50,6 +55,7 @@ class VCAGANModules:
                 gru_dropout=m.gru_dropout,
                 frontend_dropout=m.frontend_dropout,
                 dtype=dtype,
+                fold_bn=fold_bn,
             ),
             gen=Decoder(
                 noise_dim=m.noise_dim,
@@ -59,7 +65,10 @@ class VCAGANModules:
                 dtype=dtype,
             ),
             post=Postnet(
-                channels=m.postnet_channels, linear_bins=m.linear_bins, dtype=dtype
+                channels=m.postnet_channels,
+                linear_bins=m.linear_bins,
+                dtype=dtype,
+                fold_bn=fold_bn,
             ),
             dis1=Discriminator(
                 phase="1",
