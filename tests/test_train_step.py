@@ -90,6 +90,53 @@ class TestTrainStep:
                 err_msg=f"metric {k} diverged under remat",
             )
 
+    @pytest.mark.parametrize("remat", ["none", "r1"])
+    def test_d_phase_batched_matches_ref(self, setup, remat):
+        """d_phase='batched' (one 2B real+fake forward per scale, joint R1
+        grad) is a program restructure only — metrics and updated params
+        must match the reference-structured step to reassociation level."""
+        modules, state, step_fn = setup
+        cfg = TrainConfig(lr=1e-4, weight_decay=1e-5)
+        mk = lambda: make_optimizer(
+            cfg.lr, cfg.weight_decay, cfg.amsgrad, cfg.lr_milestones,
+            cfg.lr_gamma, 10,
+        )
+        ref_fn = make_train_step(
+            modules, mk(), mk(), cfg, donate=False, remat=remat, d_phase="ref"
+        )
+        bat_fn = make_train_step(
+            modules, mk(), mk(), cfg, donate=False, remat=remat,
+            d_phase="batched",
+        )
+        batch = tiny_batch()
+        s0, m0 = ref_fn(state, batch, jax.random.PRNGKey(42))
+        s1, m1 = bat_fn(state, batch, jax.random.PRNGKey(42))
+        for k in m0:
+            tol = 1e-4 if k.endswith("grad_norm") else 1e-5
+            np.testing.assert_allclose(
+                float(m0[k]), float(m1[k]), rtol=tol, atol=tol,
+                err_msg=f"metric {k} diverged under d_phase=batched",
+            )
+        for side in ("d_params", "g_params"):
+            for (p0, l0), (_, l1) in zip(
+                jax.tree_util.tree_leaves_with_path(getattr(s0, side)),
+                jax.tree_util.tree_leaves_with_path(getattr(s1, side)),
+            ):
+                np.testing.assert_allclose(
+                    np.asarray(l0), np.asarray(l1), atol=2.5e-4,
+                    err_msg=f"{side}/{p0}",
+                )
+
+    def test_d_phase_unknown_raises(self, setup):
+        modules, state, _ = setup
+        cfg = TrainConfig()
+        mk = lambda: make_optimizer(
+            cfg.lr, cfg.weight_decay, cfg.amsgrad, cfg.lr_milestones,
+            cfg.lr_gamma, 10,
+        )
+        with pytest.raises(ValueError, match="d_phase"):
+            make_train_step(modules, mk(), mk(), cfg, d_phase="fused")
+
     def test_unknown_remat_token_raises(self, setup):
         """A typoed --remat (e.g. 'R1', ' r1' survives stripping, 'r-1')
         must fail loudly instead of silently running un-remated."""

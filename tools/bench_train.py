@@ -23,6 +23,8 @@ _p.add_argument("--window", type=int, default=40)
 _p.add_argument("--bf16", action="store_true")
 _p.add_argument("--remat", type=str, default="none",
                 help="selective remat sites: none | vfront | stem | r1, comma-separable")
+_p.add_argument("--d_phase", type=str, default="ref",
+                help="D-phase structure: ref | batched (see make_train_step)")
 _p.add_argument("--compiler_opts", type=str, default="",
                 help="'none' = raw compiler defaults (no options), "
                      "'' = the shipped make_train_step defaults, or a "
@@ -54,7 +56,8 @@ def main():
     else:
         copts = "auto"
     step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True,
-                              remat=_args.remat, compiler_options=copts)
+                              remat=_args.remat, compiler_options=copts,
+                              d_phase=_args.d_phase)
 
     # compile + warmup
     t0 = time.perf_counter()

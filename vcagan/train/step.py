@@ -83,6 +83,7 @@ def make_train_step(
     mesh=None,
     remat: str = "none",
     compiler_options="auto",
+    d_phase: str = "ref",
 ):
     """Build the jitted GAN train step.
 
@@ -124,6 +125,16 @@ def make_train_step(
     options (``_tpu_compiler_options``); ``None`` compiles with the raw
     compiler defaults (the sweep's uncontaminated baseline); a dict is
     passed through verbatim.
+
+    ``d_phase``: D-phase program structure, math-identical either way
+    (pinned by tests/test_train_step.py).  ``"ref"`` mirrors the
+    reference's per-tensor stacks (6 discriminator forwards + 3 separate
+    R1 grads, train.py:182-207).  ``"batched"`` restructures against the
+    step's small-fusion latency tail: real and fake mels are concatenated
+    into ONE 2B-batch forward per scale (half the discriminator kernel
+    launches, same FLOPs, larger MXU tiles) and the 3 R1 penalties become
+    a single joint grad over the (mel1, mel2, mel3) tuple (one backward
+    traversal instead of 3).
     """
     cfg = config or TrainConfig()
 
@@ -195,6 +206,70 @@ def make_train_step(
         module = getattr(modules, name)
         return module.apply({"params": d_params[name]}, mel_img, sent_sg)
 
+    if d_phase not in ("ref", "batched"):
+        raise ValueError(f"unknown d_phase {d_phase!r}; valid: ref, batched")
+
+    def _gan_terms_ref(d_params, sent_sg, mels, gens):
+        real_terms = []
+        for name, mel_k in zip(("dis1", "dis2", "dis3"), mels):
+            u, c = disc_logits(d_params, name, _img(mel_k), sent_sg)
+            real_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
+        fake_terms = []
+        for name, g_k in zip(("dis1", "dis2", "dis3"), gens):
+            u, c = disc_logits(
+                d_params, name, _img(jax.lax.stop_gradient(g_k)), sent_sg
+            )
+            fake_terms.append(gan_loss(u, real=False) + gan_loss(c, real=False))
+        return real_terms, fake_terms
+
+    def _gan_terms_batched(d_params, sent_sg, mels, gens):
+        # one 2B forward per scale; convs/heads are per-sample so slicing
+        # the logits back out is exact
+        bsz = mels[0].shape[0]
+        sent2 = jnp.concatenate([sent_sg, sent_sg], axis=0)
+        real_terms, fake_terms = [], []
+        for name, mel_k, g_k in zip(("dis1", "dis2", "dis3"), mels, gens):
+            both = jnp.concatenate(
+                [_img(mel_k), _img(jax.lax.stop_gradient(g_k))], axis=0
+            )
+            u, c = disc_logits(d_params, name, both, sent2)
+            real_terms.append(
+                gan_loss(u[:bsz], real=True) + gan_loss(c[:bsz], real=True)
+            )
+            fake_terms.append(
+                gan_loss(u[bsz:], real=False) + gan_loss(c[bsz:], real=False)
+            )
+        return real_terms, fake_terms
+
+    def _r1_terms_ref(d_params, sent_sg, mels):
+        r1_terms = []
+        for name, mel_k in zip(("dis1", "dis2", "dis3"), mels):
+            r1_logit_fn = lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0]
+            if "r1" in remat_sites:
+                r1_logit_fn = jax.checkpoint(r1_logit_fn)
+            r1_terms.append(r1_penalty(r1_logit_fn, mel_k))
+        return r1_terms
+
+    def _r1_terms_joint(d_params, sent_sg, mels):
+        # single grad over the (mel1, mel2, mel3) tuple: the 3 penalty
+        # backwards merge into one traversal
+        def logit_sum(ms):
+            total = 0.0
+            for name, m in zip(("dis1", "dis2", "dis3"), ms):
+                total = total + jnp.sum(
+                    disc_logits(d_params, name, _img(m), sent_sg)[0]
+                )
+            return total
+
+        if "r1" in remat_sites:
+            logit_sum = jax.checkpoint(logit_sum)
+        grads = jax.grad(logit_sum)(tuple(mels))
+        terms = []
+        for g in grads:
+            flat = g.reshape(g.shape[0], -1)
+            terms.append(jnp.mean(jnp.sum(flat * flat, axis=1)))
+        return terms
+
     def d_loss_fn(d_params, g_params, batch_stats, batch: Batch, rngs):
         phon, sent, (g1, g2, g3), _ = forward_gen_side(
             g_params, batch_stats, batch, rngs
@@ -202,23 +277,17 @@ def make_train_step(
         sent_sg = jax.lax.stop_gradient(sent)
         mel1, mel2 = _mel_pyramid(batch.mel)
         mel3 = batch.mel
+        mels = (mel1, mel2, mel3)
+        gens = (g1, g2, g3)
 
-        real_terms = []
-        r1_terms = []
-        for name, mel_k in (("dis1", mel1), ("dis2", mel2), ("dis3", mel3)):
-            u, c = disc_logits(d_params, name, _img(mel_k), sent_sg)
-            real_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
-            r1_logit_fn = lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0]
-            if "r1" in remat_sites:
-                r1_logit_fn = jax.checkpoint(r1_logit_fn)
-            r1_terms.append(r1_penalty(r1_logit_fn, mel_k))
-
-        fake_terms = []
-        for name, g_k in (("dis1", g1), ("dis2", g2), ("dis3", g3)):
-            u, c = disc_logits(
-                d_params, name, _img(jax.lax.stop_gradient(g_k)), sent_sg
+        if d_phase == "batched":
+            real_terms, fake_terms = _gan_terms_batched(
+                d_params, sent_sg, mels, gens
             )
-            fake_terms.append(gan_loss(u, real=False) + gan_loss(c, real=False))
+            r1_terms = _r1_terms_joint(d_params, sent_sg, mels)
+        else:
+            real_terms, fake_terms = _gan_terms_ref(d_params, sent_sg, mels, gens)
+            r1_terms = _r1_terms_ref(d_params, sent_sg, mels)
 
         # Sync critic on REAL mel with LIVE phon: this is the only dis-phase
         # path into v_front (reference train.py:186,210).
