@@ -210,17 +210,27 @@ def make_train_step(
         raise ValueError(f"unknown d_phase {d_phase!r}; valid: ref, batched")
 
     def _gan_terms_ref(d_params, sent_sg, mels, gens):
+        # NOTE trace order is load-bearing for the persistent compile cache:
+        # real+R1 interleaved per scale, THEN the fake loop, exactly as the
+        # pre-d_phase step traced — reordering ops (even math-identically)
+        # changes the canonicalized StableHLO and misses every cached TPU
+        # executable.
         real_terms = []
+        r1_terms = []
         for name, mel_k in zip(("dis1", "dis2", "dis3"), mels):
             u, c = disc_logits(d_params, name, _img(mel_k), sent_sg)
             real_terms.append(gan_loss(u, real=True) + gan_loss(c, real=True))
+            r1_logit_fn = lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0]
+            if "r1" in remat_sites:
+                r1_logit_fn = jax.checkpoint(r1_logit_fn)
+            r1_terms.append(r1_penalty(r1_logit_fn, mel_k))
         fake_terms = []
         for name, g_k in zip(("dis1", "dis2", "dis3"), gens):
             u, c = disc_logits(
                 d_params, name, _img(jax.lax.stop_gradient(g_k)), sent_sg
             )
             fake_terms.append(gan_loss(u, real=False) + gan_loss(c, real=False))
-        return real_terms, fake_terms
+        return real_terms, fake_terms, r1_terms
 
     def _gan_terms_batched(d_params, sent_sg, mels, gens):
         # one 2B forward per scale; convs/heads are per-sample so slicing
@@ -240,15 +250,6 @@ def make_train_step(
                 gan_loss(u[bsz:], real=False) + gan_loss(c[bsz:], real=False)
             )
         return real_terms, fake_terms
-
-    def _r1_terms_ref(d_params, sent_sg, mels):
-        r1_terms = []
-        for name, mel_k in zip(("dis1", "dis2", "dis3"), mels):
-            r1_logit_fn = lambda m, n=name: disc_logits(d_params, n, _img(m), sent_sg)[0]
-            if "r1" in remat_sites:
-                r1_logit_fn = jax.checkpoint(r1_logit_fn)
-            r1_terms.append(r1_penalty(r1_logit_fn, mel_k))
-        return r1_terms
 
     def _r1_terms_joint(d_params, sent_sg, mels):
         # single grad over the (mel1, mel2, mel3) tuple: the 3 penalty
@@ -286,8 +287,9 @@ def make_train_step(
             )
             r1_terms = _r1_terms_joint(d_params, sent_sg, mels)
         else:
-            real_terms, fake_terms = _gan_terms_ref(d_params, sent_sg, mels, gens)
-            r1_terms = _r1_terms_ref(d_params, sent_sg, mels)
+            real_terms, fake_terms, r1_terms = _gan_terms_ref(
+                d_params, sent_sg, mels, gens
+            )
 
         # Sync critic on REAL mel with LIVE phon: this is the only dis-phase
         # path into v_front (reference train.py:186,210).
