@@ -80,3 +80,49 @@ class TestPesq:
                 y = x + noise * (sp / 10 ** (snr / 20))
                 got = pesq_nb(x, y, 8000)
                 assert abs(got - target) < 0.5, (f0, snr, got, target)
+
+
+class TestVocodedCalibration:
+    def test_mel_noise_monotone_on_vocoded_speech(self):
+        """The estimator must order the PRODUCT's own distortion family:
+        Griffin-Lim-vocoded speech with mel-domain prediction error.  Full
+        calibration table: tools/calibrate_pesq_vocoded.py (3 voices,
+        6 GL-iteration points, 6 mel-noise levels) — mel-noise axis spans
+        4.39 -> 3.76 monotonically; the GL-iteration axis is nearly flat
+        (range 0.018 MOS), as magnitude-domain P.862 should be for what is
+        mostly phase error (STOI moves 0.77 -> 0.81 on the same sweep).
+        This test pins the cheap 2-point version of the noise axis."""
+        import jax
+        import jax.numpy as jnp
+
+        from vcagan.configs import AudioConfig
+        from vcagan.dsp import MelPipeline
+        from vcagan.dsp.audio import mel_normalize
+
+        sr, n = 16_000, 24_000
+        rng = np.random.default_rng(0)
+        t = np.arange(n) / sr
+        env = np.clip(np.sin(2 * np.pi * 2.0 * t) + 0.4, 0, None)
+        sig = sum(np.sin(2 * np.pi * 140 * k * t + rng.random()) / k
+                  for k in range(1, 10))
+        gt = (env * sig * 0.1).astype(np.float32)[None]
+
+        pipe = MelPipeline(AudioConfig(griffin_lim_iters=30))
+        cond = pipe.condition_waveform(jnp.asarray(gt))
+        mel_log, _ = pipe.mel_spectrogram(cond)
+        mel_norm = np.asarray(mel_normalize(mel_log))
+        gt_score = gt / np.abs(gt).max() * 0.9
+
+        scores = []
+        noise = rng.standard_normal(mel_norm.shape).astype(np.float32)
+        for sigma in (0.0, 0.4):
+            noisy = np.clip(mel_norm + sigma * noise, -1.0, 1.0)
+            wav = np.asarray(
+                pipe.inverse_mel(jnp.asarray(noisy), jax.random.PRNGKey(0))
+            )
+            L = min(wav.shape[1], gt_score.shape[1])
+            scores.append(pesq_nb(gt_score[0][:L], wav[0][:L], sr))
+        # clean vocode scores near-transparent; heavy mel noise is
+        # separated by a clear margin (tool measures ~0.63 over 3 voices)
+        assert scores[0] > 4.0, scores
+        assert scores[0] - scores[1] > 0.3, scores
