@@ -98,6 +98,19 @@ def main():
     wall = time.time() - t0
     bn1 = _bn_summary(trainer.state.batch_stats)
 
+    # Save the soaked state: the full orbax checkpoint (resume-grade) plus
+    # a compact fp16 npz of the serving-side weights, which is what the
+    # trained-weights bf16-vs-fp32 quality pin loads
+    # (tools/eval_bf16_quality.py / tests/test_bf16_and_lrs_train.py).
+    from vcagan.io.serving_npz import save_serving_npz
+
+    trainer.ckpt.save(trainer.state, epoch=epochs)
+    save_serving_npz(
+        trainer.state.g_params,
+        trainer.state.batch_stats,
+        os.path.join(out, "serving_fp16.npz"),
+    )
+
     # ---- audit the trajectory ----
     rows = [json.loads(l) for l in open(metrics_path)]
     rows = [r for r in rows if "train/gen_loss" in r]
