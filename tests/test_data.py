@@ -122,6 +122,33 @@ class TestHostCrop:
         )
 
 
+    def test_host_resize_within_quantization(self):
+        """host_resize (opt-in) applies the DEVICE kernel's exact bilinear
+        weights on the host (matrix extracted by resizing the identity —
+        cv2's non-antialiased INTER_LINEAR was measured 0.31 off and
+        rejected), so the only residual is one uint8 rounding for the
+        wire: 0.5/255 in [0,1] pixels = 0.0116 normalized."""
+        import dataclasses as _dc
+
+        source = SyntheticLipSpeech(num_clips=2, video_frames=24)
+        batches = {}
+        for hr in (True, False):
+            dcfg = _dc.replace(DataConfig(window_size=20), host_resize=hr)
+            ds = GridDataset(source, AudioConfig(), dcfg, mode="train", seed=3)
+            raw = next(ds.epoch(batch_size=2))
+            if hr:
+                assert raw["video_raw"].shape[2:4] == (112, 112)
+            proc = make_device_pipeline(AudioConfig(), dcfg, augment=False)
+            batches[hr] = proc(raw, jax.random.PRNGKey(7))
+        diff = np.abs(
+            np.asarray(batches[True].video) - np.asarray(batches[False].video)
+        )
+        assert diff.max() <= 0.5 / 255.0 / 0.17 + 1e-6, diff.max()
+        np.testing.assert_array_equal(
+            np.asarray(batches[True].mel), np.asarray(batches[False].mel)
+        )
+
+
 class TestSyntheticEndToEnd:
     def test_batch_through_device_pipeline(self):
         source = SyntheticLipSpeech(num_clips=4, video_frames=30)

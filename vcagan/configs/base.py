@@ -97,9 +97,21 @@ class DataConfig:
     # (<= 0.5/255 per pixel) of the device float-luma path — below the
     # reference's own PIL uint8 quantization (transforms.host_luma_u8).
     host_gray: bool = True
+    # Bilinear-resize to crop_size on the HOST with the device kernel's
+    # exact weights (transforms.host_resize_u8): another 1.47x off the
+    # per-step H2D video bytes; one uint8 rounding from the device float
+    # path (same bound class as host_gray).  Default OFF: on this 1-vCPU
+    # tunnel host the resize matmuls (~17 GFLOP/step at b112) cost more
+    # than the wire saves (measured 3.23 -> 3.69 s/step e2e,
+    # tools/bench_e2e_train.py).  Flip on for many-core hosts where BLAS
+    # parallelism makes the trade positive.
+    host_resize: bool = False
     pixel_mean: float = 0.4136
     pixel_std: float = 0.1700
     erase_size: int = 56
+    # synthetic-fallback corpus size (tests/benches); large-batch recipes
+    # (b112) need >= batch_size clips for a real epoch
+    synthetic_clips: int = 64
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,7 +25,7 @@ from vcagan.configs import AudioConfig, DataConfig
 from vcagan.data import audio_host
 from vcagan.data.splits import grid_file_list
 from vcagan.data.synthetic import SyntheticLipSpeech
-from vcagan.data.transforms import host_luma_u8
+from vcagan.data.transforms import host_luma_u8, host_resize_u8
 
 
 def decode_video(path: str) -> np.ndarray:
@@ -273,6 +273,16 @@ class GridDataset:
             else:
                 st = 0
             video = video[st : st + w]
+            if (
+                self.data.host_resize
+                and self.data.host_crop  # resize is only what remains
+                and video.dtype == np.uint8
+                and video.shape[1:3]
+                != (self.data.crop_size, self.data.crop_size)
+            ):
+                # resize only the WINDOWED frames (w, not the full clip)
+                # with the device kernel's exact weights
+                video = host_resize_u8(video, self.data.crop_size)
             vid_lens.append(video.shape[0])
             if video.shape[0] < w:
                 pad = np.zeros((w - video.shape[0],) + video.shape[1:], video.dtype)
@@ -329,7 +339,8 @@ def make_grid_dataset(
             raise FileNotFoundError(
                 f"GRID corpus/splits not found under {config_data.data_root} / {splits_dir}"
             )
-        # 64 clips so large-batch recipes (b32/b64 soaks and benches) get
-        # real epochs; clips are memoized, ~1 GB raw on a 128 GB host
-        source = SyntheticLipSpeech(num_clips=64)
+        # 64 clips (default) so large-batch recipes get real epochs; clips
+        # are memoized, ~1 GB raw on a 128 GB host.  b112 end-to-end runs
+        # raise data.synthetic_clips past the batch size.
+        source = SyntheticLipSpeech(num_clips=config_data.synthetic_clips)
     return GridDataset(source, config_audio, config_data, mode, seed, workers)

@@ -109,5 +109,13 @@ class ParallelEpoch:
         if self.to_device:
             import jax
 
+            # TWO pipeline stages, each in its own thread: stage 1 collates
+            # ahead; stage 2 issues device_put.  With a single producer the
+            # chain is serial per batch (collate THEN upload: measured
+            # 1.23 s + 1.11 s at bf16 b112x40) and the training loop pays
+            # the sum; staged, the upload of batch N rides the wire while
+            # batch N+1 collates — the transfer releases the GIL, so the
+            # stages genuinely overlap even on this 1-vCPU host.
+            it = prefetch_iterator(it, depth=1)
             it = (jax.device_put(raw) for raw in it)
         return prefetch_iterator(it, self.depth)

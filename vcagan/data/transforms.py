@@ -38,6 +38,45 @@ def host_luma_u8(video: np.ndarray) -> np.ndarray:
     return np.clip(y, 0.0, 255.0).astype(np.uint8)[..., None]
 
 
+_RESIZE_W: dict = {}
+
+
+def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """The (out_size, in_size) weight matrix of jax.image.resize's
+    antialiased bilinear kernel along one axis.  resize is linear, so the
+    matrix is extracted EXACTLY by resizing the identity — the host matmul
+    then reproduces the device resize bit-for-bit in fp32 (cv2's
+    INTER_LINEAR does NOT antialias on downscale and diverges by up to
+    0.31 in [0,1] units; measured before rejecting it)."""
+    key = (in_size, out_size)
+    if key not in _RESIZE_W:
+        eye = jnp.eye(in_size, dtype=jnp.float32)
+        w = jax.image.resize(eye, (out_size, in_size), method="bilinear")
+        _RESIZE_W[key] = np.asarray(jax.device_get(w), np.float32)
+    return _RESIZE_W[key]
+
+
+def host_resize_u8(video: np.ndarray, out_size: int) -> np.ndarray:
+    """uint8 frames (T, H, W, C) -> uint8 (T, out, out, C) on the HOST
+    (DataConfig.host_resize), using the device kernel's exact weights
+    (see _resize_weights), quantized back to uint8 for the wire.
+
+    Cuts host->device video bytes another (H*W)/(out*out)x (1.47x for the
+    GRID 136^2 -> 112^2 box) on top of host_crop/host_gray.  Residual vs
+    the device float path: one uint8 rounding, |err| <= 0.5/255 in [0,1]
+    units — the same bound class as host_gray, and below the reference's
+    own PIL quantization.  The downstream flip commutes (the antialias
+    kernel is symmetric); erase/normalize are pointwise after."""
+    t, h, w, c = video.shape
+    wh = _resize_weights(h, out_size)
+    ww = _resize_weights(w, out_size)
+    x = video.astype(np.float32)
+    # (T,H,W,C): contract H with wh -> (T,out,W,C), then W with ww
+    x = np.einsum("oh,thwc->towc", wh, x, optimize=True)
+    x = np.einsum("pw,towc->topc", ww, x, optimize=True)
+    return np.clip(np.rint(x), 0.0, 255.0).astype(np.uint8)
+
+
 def prepare_clip(
     frames: jax.Array,
     key: Optional[jax.Array] = None,
@@ -66,9 +105,12 @@ def prepare_clip(
     if crop_box is not None:
         x0, y0, x1, y1 = crop_box
         x = x[:, y0:y1, x0:x1, :]
-    x = jax.image.resize(
-        x, (t, out_size, out_size, x.shape[-1]), method="bilinear"
-    )
+    if x.shape[1] != out_size or x.shape[2] != out_size:
+        # skipped under DataConfig.host_resize: the host already applied
+        # this exact kernel (transforms.host_resize_u8)
+        x = jax.image.resize(
+            x, (t, out_size, out_size, x.shape[-1]), method="bilinear"
+        )
 
     if augment:
         if key is None:
