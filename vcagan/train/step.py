@@ -455,10 +455,19 @@ def _tpu_compiler_options():
     that is the entire v5e VMEM).  Options must be set via PJRT
     ``compiler_options`` — client-side XLA_FLAGS never reach the
     server-side TPU compiler behind the tunnel.
+
+    DISABLED BY DEFAULT since round 4: the tunnel's compile helper
+    currently SIGKILLs ANY fresh train-step compile carrying the option
+    (isolated on one graph at one shape: option-less compiles in 690 s,
+    option-ful dies — a server-side regression; round 3 compiled the
+    same option-ful programs fine).  A +1.9% option is not worth a
+    framework that cannot compile.  Re-enable per run via
+    ``compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"}``
+    (bench_train: ``--compiler_opts xla_tpu_scoped_vmem_limit_kib=65536``)
+    once the helper is fixed; cached option-ful executables (the b112
+    record among them) still load and run.
     """
-    if jax.default_backend() in ("cpu", "gpu"):
-        return None
-    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    return None
 
 
 def make_eval_step(modules: VCAGANModules, flip_tta: bool = False):
