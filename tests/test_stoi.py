@@ -134,3 +134,27 @@ class TestJaxParity:
             ]
         )
         np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+class TestCombinedProgram:
+    def test_stoi_estoi_batch_matches_separate(self):
+        """stoi_estoi_batch fuses the shared front end into one program
+        (one dispatch, one readback — the LRS-scale eval spends ~40% of
+        its wall in separate STOI+ESTOI calls); it must return exactly
+        what the two stoi_batch programs return."""
+        import jax.numpy as jnp
+
+        from vcagan.eval.stoi import stoi_batch, stoi_estoi_batch
+
+        rng = np.random.default_rng(0)
+        clean = jnp.asarray(rng.standard_normal((3, 24000)), jnp.float32)
+        deg = clean + 0.3 * jnp.asarray(
+            rng.standard_normal((3, 24000)), jnp.float32
+        )
+        lens = jnp.asarray([24000, 18000, 9000])
+        for lengths in (None, lens):
+            s, e = stoi_estoi_batch(clean, deg, lengths=lengths)
+            s_ref = stoi_batch(clean, deg, lengths=lengths)
+            e_ref = stoi_batch(clean, deg, extended=True, lengths=lengths)
+            np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+            np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-6)

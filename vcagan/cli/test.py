@@ -19,7 +19,7 @@ from vcagan.configs import grid_config
 from vcagan.data.device_pipeline import make_device_pipeline
 from vcagan.data.grid import make_grid_dataset
 from vcagan.dsp import MelPipeline
-from vcagan.eval import stoi_batch
+from vcagan.eval import stoi_estoi_batch
 from vcagan.eval.pesq_nb import pesq_batch
 from vcagan.io import CheckpointManager, write_wav
 from vcagan.train.models import VCAGANModules
@@ -123,14 +123,9 @@ def main(argv=None):
         wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
         wav_gt = raw["wav"][:, : wav_pred.shape[1]]
 
-        stois.append(
-            np.asarray(stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred)))[:nv]
-        )
-        estois.append(
-            np.asarray(
-                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred), extended=True)
-            )[:nv]
-        )
+        s_b, e_b = stoi_estoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred))
+        stois.append(np.asarray(s_b)[:nv])
+        estois.append(np.asarray(e_b)[:nv])
         pesqs.append(
             np.asarray(pesq_batch(np.asarray(wav_gt), wav_pred, fs=16_000))[:nv]
         )

@@ -23,7 +23,7 @@ from vcagan.data.lrs import (
     make_lrs_device_pipeline,
 )
 from vcagan.dsp import MelPipeline
-from vcagan.eval import stoi_batch
+from vcagan.eval import stoi_estoi_batch
 from vcagan.eval.pesq_nb import pesq_batch
 from vcagan.io import CheckpointManager, write_wav
 from vcagan.train.models import VCAGANModules
@@ -60,6 +60,12 @@ def parse_args(argv=None):
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (e.g. cpu); must be set before device use")
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--synthetic_clips", type=int, default=4,
+                   help="clip count for the synthetic fallback corpus "
+                        "(LRS-scale timing runs use ~1300)")
+    p.add_argument("--time_breakdown", action="store_true",
+                   help="print a JSON wall-time breakdown (device vocode "
+                        "sync / STOI / PESQ / artifact dump) at the end")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 serving mode: conv/matmul compute in bfloat16 "
                         "(params and the Griffin-Lim vocoder stay fp32; "
@@ -95,11 +101,15 @@ def main(argv=None):
         if len(source) == 0:
             raise FileNotFoundError
     except (FileNotFoundError, OSError):
-        source = SyntheticLRSSource(num_clips=4)
+        source = SyntheticLRSSource(num_clips=args.synthetic_clips)
     ds = LRSDataset(source, cfg.audio, cfg.data, mode="test", seed=0)
+
+    import time as _time
 
     rng = jax.random.PRNGKey(args.seed)
     stois, estois, pesqs = [], [], []
+    t_vocode = t_stoi = t_pesq = t_dump = 0.0
+    t_wall0 = _time.perf_counter()
     out_base = os.path.join(args.out_dir, args.data_name)
     os.makedirs(out_base, exist_ok=True)
 
@@ -128,7 +138,9 @@ def main(argv=None):
         spec = lrs_denormalize_spec(jnp.swapaxes(gs, 1, 2))
         frame_valid = jnp.arange(spec.shape[1])[None, :] < mel_len[:, None]
         spec = jnp.where(frame_valid[:, :, None], spec, 0.0)
+        t0 = _time.perf_counter()
         wav_pred = np.asarray(pipe.inverse_spec(spec, k_gl))
+        t_vocode += _time.perf_counter() - t0  # sync point: model + GL
         wav_gt = np.asarray(raw["wav"])[:, : wav_pred.shape[1]].copy()
 
         # zero both signals past the true length and hand stoi_batch the
@@ -142,23 +154,20 @@ def main(argv=None):
         wav_gt = np.where(sample_valid, wav_gt, 0.0)
         lens = jnp.asarray(n_wav)
 
-        stois.append(
-            np.asarray(
-                stoi_batch(jnp.asarray(wav_gt), jnp.asarray(wav_pred_m), lengths=lens)
-            )[:nv]
+        t0 = _time.perf_counter()
+        s_b, e_b = stoi_estoi_batch(
+            jnp.asarray(wav_gt), jnp.asarray(wav_pred_m), lengths=lens
         )
-        estois.append(
-            np.asarray(
-                stoi_batch(
-                    jnp.asarray(wav_gt), jnp.asarray(wav_pred_m),
-                    extended=True, lengths=lens,
-                )
-            )[:nv]
-        )
+        stois.append(np.asarray(s_b)[:nv])
+        estois.append(np.asarray(e_b)[:nv])
+        t_stoi += _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         pesqs.append(
             np.asarray(pesq_batch(wav_gt, wav_pred_m, fs=16_000))[:nv]
         )
+        t_pesq += _time.perf_counter() - t0
 
+        t0 = _time.perf_counter()
         g3_np, gs_np = np.asarray(g3), np.asarray(gs)
         for b in range(nv):
             name = ds.source.name(i * args.batch_size + b)
@@ -177,6 +186,23 @@ def main(argv=None):
             write_wav(
                 os.path.join(wav_dir, f"{rel}.wav"), wav_pred[b, : int(n_wav[b])]
             )
+        t_dump += _time.perf_counter() - t0
+
+    if args.time_breakdown:
+        import json as _json
+
+        wall = _time.perf_counter() - t_wall0
+        n_scored = int(sum(len(s) for s in stois))
+        print(_json.dumps({
+            "clips": n_scored,
+            "wall_s": round(wall, 1),
+            "clips_per_s": round(n_scored / max(wall, 1e-9), 2),
+            "vocode_sync_s": round(t_vocode, 1),  # model fwd + GL + D2H
+            "stoi_estoi_s": round(t_stoi, 1),
+            "pesq_s": round(t_pesq, 1),
+            "dump_s": round(t_dump, 1),
+            "other_s": round(wall - t_vocode - t_stoi - t_pesq - t_dump, 1),
+        }))
 
     stoi_m = float(np.nanmean(np.concatenate(stois))) if stois else 0.0
     estoi_m = float(np.nanmean(np.concatenate(estois))) if estois else 0.0

@@ -130,25 +130,10 @@ def _segments(x: jax.Array) -> jax.Array:
     return jnp.transpose(x[:, :, idx], (0, 2, 1, 3))
 
 
-@functools.partial(jax.jit, static_argnames=("extended", "input_rate"))
-def stoi_batch(
-    clean: jax.Array,
-    degraded: jax.Array,
-    extended: bool = False,
-    input_rate: int = 16_000,
-    lengths: jax.Array | None = None,
-) -> jax.Array:
-    """Batched (E)STOI: (B, L), (B, L) waveforms -> (B,) scores.
-
-    ``lengths`` (B,) int, optional: per-sample TRUE lengths in input-rate
-    samples for zero-padded variable-length batches.  With it, frames whose
-    start falls at or beyond ``true_len - 256`` (at 10 kHz) are excluded
-    exactly like pystoi's ``range(0, len(x) - 256, 128)`` framing of the
-    trimmed signal — without it, padded samples include one extra boundary
-    frame (a tiny deviation, acceptable for fixed-length batches where
-    padding is absent anyway).
-    """
-    assert input_rate in (16_000, 10_000)
+def _stoi_front(clean, degraded, extended_unused, input_rate, lengths):
+    """Shared (E)STOI front end: resample -> frame -> silent-frame
+    compaction -> OLA -> third-octave band envelopes -> 30-frame segments.
+    Returns (Xs, Ys, valid)."""
     x = clean.astype(jnp.float32)
     y = degraded.astype(jnp.float32)
     if input_rate == 16_000:
@@ -171,7 +156,6 @@ def stoi_batch(
     xk, yk, counts = _compact_silent_frames(xf, yf, win, frame_ok)
     x_rec = _overlap_add_50(xk)
     y_rec = _overlap_add_50(yk)
-
     X = _band_envelopes(x_rec, win, obm)  # (B, 15, M)
     Y = _band_envelopes(y_rec, win, obm)
 
@@ -186,33 +170,81 @@ def stoi_batch(
         np.arange(n_seg_slots)[None, :] + ref.N_SEG
         <= band_frames[:, None]
     )  # (B, S)
+    return Xs, Ys, valid
 
-    if extended:
-        def rownorm(a, axis):
-            a = a - jnp.mean(a, axis=axis, keepdims=True)
-            return a / (jnp.linalg.norm(a, axis=axis, keepdims=True) + _EPS)
 
-        Xn = rownorm(rownorm(Xs, -1), -2)
-        Yn = rownorm(rownorm(Ys, -1), -2)
-        d_seg = jnp.sum(Xn * Yn, axis=(-1, -2)) / ref.N_SEG  # (B, S)
-        score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
-            jnp.sum(valid, axis=1), 1
-        )
-    else:
-        c = 10.0 ** (-ref.BETA / 20.0)
-        # pystoi normalizes by the norm ratio with EPS on the denominator
-        alpha = jnp.linalg.norm(Xs, axis=-1, keepdims=True) / (
-            jnp.linalg.norm(Ys, axis=-1, keepdims=True) + _EPS
-        )
-        Yc = jnp.minimum(alpha * Ys, Xs * (1 + c))
-        xm = Xs - jnp.mean(Xs, axis=-1, keepdims=True)
-        ym = Yc - jnp.mean(Yc, axis=-1, keepdims=True)
-        corr = jnp.sum(xm * ym, axis=-1) / (
-            jnp.linalg.norm(xm, axis=-1) * jnp.linalg.norm(ym, axis=-1) + _EPS
-        )  # (B, S, 15)
-        d_seg = jnp.mean(corr, axis=-1)  # (B, S)
-        score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
-            jnp.sum(valid, axis=1), 1
-        )
+def _estoi_tail(Xs, Ys, valid):
+    def rownorm(a, axis):
+        a = a - jnp.mean(a, axis=axis, keepdims=True)
+        return a / (jnp.linalg.norm(a, axis=axis, keepdims=True) + _EPS)
+
+    Xn = rownorm(rownorm(Xs, -1), -2)
+    Yn = rownorm(rownorm(Ys, -1), -2)
+    d_seg = jnp.sum(Xn * Yn, axis=(-1, -2)) / ref.N_SEG  # (B, S)
+    score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
+        jnp.sum(valid, axis=1), 1
+    )
     # pystoi returns 1e-5 when there are fewer than 30 band frames
     return jnp.where(jnp.any(valid, axis=1), score, 1e-5)
+
+
+def _stoi_tail(Xs, Ys, valid):
+    c = 10.0 ** (-ref.BETA / 20.0)
+    # pystoi normalizes by the norm ratio with EPS on the denominator
+    alpha = jnp.linalg.norm(Xs, axis=-1, keepdims=True) / (
+        jnp.linalg.norm(Ys, axis=-1, keepdims=True) + _EPS
+    )
+    Yc = jnp.minimum(alpha * Ys, Xs * (1 + c))
+    xm = Xs - jnp.mean(Xs, axis=-1, keepdims=True)
+    ym = Yc - jnp.mean(Yc, axis=-1, keepdims=True)
+    corr = jnp.sum(xm * ym, axis=-1) / (
+        jnp.linalg.norm(xm, axis=-1) * jnp.linalg.norm(ym, axis=-1) + _EPS
+    )  # (B, S, 15)
+    d_seg = jnp.mean(corr, axis=-1)  # (B, S)
+    score = jnp.sum(d_seg * valid, axis=1) / jnp.maximum(
+        jnp.sum(valid, axis=1), 1
+    )
+    return jnp.where(jnp.any(valid, axis=1), score, 1e-5)
+
+
+@functools.partial(jax.jit, static_argnames=("input_rate",))
+def stoi_estoi_batch(
+    clean: jax.Array,
+    degraded: jax.Array,
+    input_rate: int = 16_000,
+    lengths: jax.Array | None = None,
+):
+    """Both STOI and ESTOI from ONE program: the front end (resample,
+    framing, silent-frame compaction, band envelopes, segmentation) is
+    ~the whole cost and is identical for the two metrics, so eval drivers
+    scoring both (cli/test_lrs.py, train/loop.py validate — mirroring
+    reference train.py:393-396) pay it once and one host round trip
+    instead of two."""
+    assert input_rate in (16_000, 10_000)
+    Xs, Ys, valid = _stoi_front(clean, degraded, False, input_rate, lengths)
+    return _stoi_tail(Xs, Ys, valid), _estoi_tail(Xs, Ys, valid)
+
+
+@functools.partial(jax.jit, static_argnames=("extended", "input_rate"))
+def stoi_batch(
+    clean: jax.Array,
+    degraded: jax.Array,
+    extended: bool = False,
+    input_rate: int = 16_000,
+    lengths: jax.Array | None = None,
+) -> jax.Array:
+    """Batched (E)STOI: (B, L), (B, L) waveforms -> (B,) scores.
+
+    ``lengths`` (B,) int, optional: per-sample TRUE lengths in input-rate
+    samples for zero-padded variable-length batches.  With it, frames whose
+    start falls at or beyond ``true_len - 256`` (at 10 kHz) are excluded
+    exactly like pystoi's ``range(0, len(x) - 256, 128)`` framing of the
+    trimmed signal — without it, padded samples include one extra boundary
+    frame (a tiny deviation, acceptable for fixed-length batches where
+    padding is absent anyway).
+    """
+    assert input_rate in (16_000, 10_000)
+    Xs, Ys, valid = _stoi_front(clean, degraded, extended, input_rate, lengths)
+    if extended:
+        return _estoi_tail(Xs, Ys, valid)
+    return _stoi_tail(Xs, Ys, valid)

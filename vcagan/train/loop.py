@@ -20,7 +20,7 @@ from vcagan.configs import VCAGANConfig
 from vcagan.data.device_pipeline import make_device_pipeline
 from vcagan.data.grid import make_grid_dataset
 from vcagan.dsp import MelPipeline
-from vcagan.eval import stoi_batch
+from vcagan.eval import stoi_estoi_batch
 from vcagan.io import CheckpointManager, MetricWriter
 from vcagan.parallel import make_mesh, shard_batch, shard_state
 from vcagan.train.models import VCAGANModules
@@ -370,25 +370,17 @@ class Trainer:
                 wav_mel_t = jnp.where(ok, wav_mel_t, 0.0)
                 wav_gt = jnp.where(ok, wav_gt, 0.0)
                 lens = jnp.asarray(n_wav)
-            stois.append(np.asarray(stoi_batch(wav_gt, wav_pred, lengths=lens))[:nv])
-            estois.append(
-                np.asarray(
-                    stoi_batch(wav_gt, wav_pred, extended=True, lengths=lens)
-                )[:nv]
-            )
+            s_b, e_b = stoi_estoi_batch(wav_gt, wav_pred, lengths=lens)
+            stois.append(np.asarray(s_b)[:nv])
+            estois.append(np.asarray(e_b)[:nv])
             pesqs.append(
                 np.asarray(
                     pesq_batch(np.asarray(wav_gt), np.asarray(wav_pred), fs=16_000)
                 )[:nv]
             )
-            stois_mel.append(
-                np.asarray(stoi_batch(wav_gt, wav_mel_t, lengths=lens))[:nv]
-            )
-            estois_mel.append(
-                np.asarray(
-                    stoi_batch(wav_gt, wav_mel_t, extended=True, lengths=lens)
-                )[:nv]
-            )
+            s_m, e_m = stoi_estoi_batch(wav_gt, wav_mel_t, lengths=lens)
+            stois_mel.append(np.asarray(s_m)[:nv])
+            estois_mel.append(np.asarray(e_m)[:nv])
             pesqs_mel.append(
                 np.asarray(
                     pesq_batch(np.asarray(wav_gt), np.asarray(wav_mel_t), fs=16_000)
