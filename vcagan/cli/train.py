@@ -55,6 +55,9 @@ def parse_args(argv=None):
     p.add_argument("--remat", type=str, default="none",
                    help="selective remat sites (none|r1|stem|vfront, comma-separable); "
                         "stem,r1 unlocks bf16 batch 112 on one chip (173.4 clips/s)")
+    p.add_argument("--d_phase", type=str, default="ref",
+                   help="D-phase program structure (ref|batched), math-identical; "
+                        "batched = one 2B real+fake forward per scale + joint R1")
     return p.parse_args(argv)
 
 
@@ -78,6 +81,7 @@ def build_config(args):
             "model.sync_temp": args.temp,
             "model.use_bfloat16": args.bf16,
             "train.remat": args.remat,
+            "train.d_phase": args.d_phase,
             "mesh.model_parallel": args.model_parallel,
         }
     )

@@ -149,6 +149,14 @@ class TrainConfig:
     # ~25% slower at every shape — available for memory-starved
     # configurations only.
     remat: str = "none"
+    # D-phase program structure ("ref" | "batched"), math-identical either
+    # way (tests/test_train_step.py pins metric equivalence).  "ref" keeps
+    # the reference-shaped trace (real+R1 per scale, then fakes) and every
+    # cached TPU executable; "batched" concatenates real+fake into one
+    # 2B-batch discriminator forward per scale and takes the 3 R1 grads
+    # jointly — fewer, larger kernels against the small-fusion latency
+    # tail.  Measured on-chip before defaulting (tools/bench_train.py).
+    d_phase: str = "ref"
 
 
 @dataclasses.dataclass(frozen=True)

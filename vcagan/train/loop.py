@@ -99,6 +99,7 @@ class Trainer:
         self.train_step = make_train_step(
             self.modules, self.g_tx, self.d_tx, tc, donate=True, mesh=self.mesh,
             remat=getattr(tc, "remat", "none"),
+            d_phase=getattr(tc, "d_phase", "ref"),
         )
         self.eval_step = make_eval_step(self.modules)
         self.rng = jax.random.PRNGKey(tc.seed)
