@@ -56,6 +56,7 @@ def parse_args(argv=None):
                    help="selective remat sites (none|r1|stem|vfront, comma-separable); "
                         "stem,r1 unlocks bf16 batch 112 on one chip (173.4 clips/s)")
     p.add_argument("--d_phase", type=str, default="ref",
+                   choices=("ref", "batched"),
                    help="D-phase program structure (ref|batched), math-identical; "
                         "batched = one 2B real+fake forward per scale + joint R1")
     return p.parse_args(argv)

@@ -155,7 +155,8 @@ class TrainConfig:
     # cached TPU executable; "batched" concatenates real+fake into one
     # 2B-batch discriminator forward per scale and takes the 3 R1 grads
     # jointly — fewer, larger kernels against the small-fusion latency
-    # tail.  Measured on-chip before defaulting (tools/bench_train.py).
+    # tail.  Must be measured on-chip (tools/bench_train.py --d_phase
+    # batched) before ever making it the default.
     d_phase: str = "ref"
 
 
