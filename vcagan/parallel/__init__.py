@@ -1,3 +1,4 @@
+from vcagan.parallel import dryrun
 from vcagan.parallel.mesh import (
     batch_sharding,
     make_mesh,
@@ -9,6 +10,7 @@ from vcagan.parallel.mesh import (
 
 __all__ = [
     "batch_sharding",
+    "dryrun",
     "make_mesh",
     "replicated",
     "shard_batch",
