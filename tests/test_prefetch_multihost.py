@@ -81,6 +81,78 @@ class TestPrefetch:
         assert batches[0]["video_raw"].shape[0] == 2
 
 
+class TestProcessEpoch:
+    @staticmethod
+    def _dataset(seed=0):
+        from vcagan.configs import AudioConfig, DataConfig
+        from vcagan.data import SyntheticLipSpeech
+        from vcagan.data.grid import GridDataset
+
+        return GridDataset(
+            SyntheticLipSpeech(num_clips=4, video_frames=30),
+            AudioConfig(),
+            DataConfig(window_size=20),
+            mode="val",  # deterministic: no window sampling, no rng draws
+            seed=seed,
+        )
+
+    @staticmethod
+    def _shm_names():
+        import os
+
+        try:
+            return {n for n in os.listdir("/dev/shm")}
+        except FileNotFoundError:  # pragma: no cover
+            return set()
+
+    def test_matches_inline_epoch_exactly(self):
+        from vcagan.data.prefetch import ProcessEpoch
+
+        ref = list(self._dataset().epoch(2, shuffle=False))
+        before = self._shm_names()
+        got = list(
+            ProcessEpoch(self._dataset(), 2, shuffle=False, to_device=False)
+        )
+        assert len(got) == len(ref)
+        for r, g in zip(ref, got):
+            assert set(r) == set(g)
+            for k in r:
+                np.testing.assert_array_equal(np.asarray(r[k]), np.asarray(g[k]))
+        assert self._shm_names() <= before, "shared-memory blocks leaked"
+
+    def test_to_device_path(self):
+        import jax
+
+        from vcagan.data.prefetch import ProcessEpoch
+
+        got = list(ProcessEpoch(self._dataset(), 2, shuffle=False, to_device=True))
+        assert len(got) == 2
+        assert isinstance(got[0]["video_raw"], jax.Array)
+        assert got[0]["video_raw"].shape[0] == 2
+
+    def test_abandoned_consumer_cleans_up(self):
+        from vcagan.data.prefetch import ProcessEpoch
+
+        before = self._shm_names()
+        it = iter(ProcessEpoch(self._dataset(), 2, shuffle=False, to_device=False))
+        next(it)
+        it.close()  # what a `break` / GC does
+        deadline = time.time() + 5.0
+        while self._shm_names() - before and time.time() < deadline:
+            time.sleep(0.05)
+        assert self._shm_names() <= before, "shared-memory blocks leaked"
+
+    def test_worker_error_propagates(self):
+        from vcagan.data.prefetch import ProcessEpoch
+
+        class Boom:
+            def epoch(self, *a, **k):
+                raise ValueError("boom in child")
+
+        with pytest.raises(RuntimeError, match="boom in child"):
+            list(ProcessEpoch(Boom(), 2, to_device=False))
+
+
 class TestMultihost:
     def test_single_process_noop(self):
         assert initialize_distributed() is False

@@ -41,6 +41,9 @@ def main():
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--warmup", type=int, default=6)
     p.add_argument("--out", type=str, default="./runs/bench_e2e")
+    p.add_argument("--collate_process", action="store_true",
+                   help="decode+collate in a worker process "
+                        "(DataConfig.collate_process / ProcessEpoch)")
     args = p.parse_args()
 
     from vcagan.configs import grid_config
@@ -63,6 +66,7 @@ def main():
             # while keeping the one-time synthetic render cost (~9 s/clip
             # on this 1-vCPU host, memoized after the first epoch) bounded
             "data.synthetic_clips": max(args.batch, 64),
+            "data.collate_process": args.collate_process,
         }
     )
     t_init0 = time.time()

@@ -59,6 +59,10 @@ def parse_args(argv=None):
                    choices=("ref", "batched"),
                    help="D-phase program structure (ref|batched), math-identical; "
                         "batched = one 2B real+fake forward per scale + joint R1")
+    p.add_argument("--collate_process", action="store_true",
+                   help="decode+collate in a worker process with shared-memory "
+                        "handoff (ProcessEpoch) — the DataLoader-workers "
+                        "analogue for GIL-bound hosts")
     return p.parse_args(argv)
 
 
@@ -83,6 +87,7 @@ def build_config(args):
             "model.use_bfloat16": args.bf16,
             "train.remat": args.remat,
             "train.d_phase": args.d_phase,
+            "data.collate_process": args.collate_process,
             "mesh.model_parallel": args.model_parallel,
         }
     )

@@ -106,6 +106,13 @@ class DataConfig:
     # tools/bench_e2e_train.py).  Flip on for many-core hosts where BLAS
     # parallelism makes the trade positive.
     host_resize: bool = False
+    # Run decode+collate in a worker PROCESS (shared-memory handoff,
+    # vcagan.data.prefetch.ProcessEpoch) instead of the in-process thread
+    # pair: sidesteps GIL contention between collate and upload on
+    # few-core hosts — the tpu-native analogue of the reference's
+    # DataLoader workers (train.py:139-146).  Measured at the b112 record
+    # config before flipping the default (tools/bench_e2e_train.py).
+    collate_process: bool = False
     pixel_mean: float = 0.4136
     pixel_std: float = 0.1700
     erase_size: int = 56

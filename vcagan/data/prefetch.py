@@ -14,6 +14,8 @@ import queue
 import threading
 from typing import Callable, Iterable, Iterator
 
+import numpy as np
+
 
 def prefetch_iterator(
     iterable: Iterable,
@@ -119,3 +121,177 @@ class ParallelEpoch:
             it = prefetch_iterator(it, depth=1)
             it = (jax.device_put(raw) for raw in it)
         return prefetch_iterator(it, self.depth)
+
+
+def _shm_collate_worker(dataset, batch_size, shuffle, process_slice, ready_q):
+    """Child-process body: run the dataset epoch and publish each collated
+    batch through a fresh SharedMemory block.
+
+    Runs in a fork()ed child that never touches JAX: decode/collate is
+    numpy + cv2 only, so the inherited TPU client is left untouched.  The
+    payload protocol per batch: one shm block holding every array's bytes
+    back to back, plus a picklable meta list (key, dtype, shape, offset)
+    through the queue.  The PARENT owns unlinking; the child unregisters
+    its blocks from its own resource_tracker so the tracker doesn't
+    complain about (deliberate) cross-process ownership transfer."""
+    import os as _os
+    from multiprocessing import resource_tracker, shared_memory
+
+    try:
+        # fork()ed ThreadPoolExecutors are husks (their worker threads do
+        # not survive fork) — rebuild the dataset's decode pool in-child.
+        pool = getattr(dataset, "_pool", None)
+        if pool is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            dataset._pool = ThreadPoolExecutor(max_workers=pool._max_workers)
+        for raw in dataset.epoch(batch_size, shuffle, process_slice=process_slice):
+            items = [(k, np.asarray(v)) for k, v in raw.items()]
+            total = sum(int(a.nbytes) for _, a in items) or 1
+            shm = shared_memory.SharedMemory(create=True, size=total)
+            try:
+                resource_tracker.unregister(shm._name, "shared_memory")
+            except Exception:
+                pass
+            meta, off = [], 0
+            for k, a in items:
+                shm.buf[off : off + a.nbytes] = a.tobytes()
+                meta.append((k, a.dtype.str, a.shape, off))
+                off += a.nbytes
+            name = shm.name
+            shm.close()
+            ready_q.put((name, meta))
+        ready_q.put(None)
+        ready_q.close()
+        ready_q.join_thread()
+    except BaseException as e:  # surfaced to the consumer via sentinel
+        try:
+            ready_q.put(("__error__", repr(e)))
+            # flush the feeder thread BEFORE os._exit kills it, or the
+            # sentinel never reaches the parent and it waits forever
+            ready_q.close()
+            ready_q.join_thread()
+        except Exception:
+            pass
+    finally:
+        _os._exit(0)  # skip atexit: inherited TPU/tunnel state isn't ours
+
+
+class ProcessEpoch:
+    """Decode+collate in a worker PROCESS, upload in this process.
+
+    The thread-based ``ParallelEpoch`` two-stage producer measured 34.7
+    clips/s at the b112 record config against a perfect-overlap floor of
+    ~93: on a 1-vCPU host the collate thread and the (GIL-holding parts of
+    the) upload thread serialize.  Moving collate behind a fork() gives it
+    its own interpreter, so the only parent-side work per step is wrapping
+    the shared-memory block in numpy views and ``jax.device_put`` — whose
+    wire time releases the CPU to the child.  This is the tpu-native
+    analogue of the reference's DataLoader worker processes
+    (reference: train.py:139-146).
+
+    numpy is imported at module scope on purpose: the child inherits it by
+    fork and never imports anything new.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        depth: int = 2,
+        shuffle: bool = True,
+        process_slice=None,
+        to_device: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.depth = depth
+        self.shuffle = shuffle
+        self.process_slice = process_slice
+        self.to_device = to_device
+
+    def __iter__(self):
+        import multiprocessing as mp
+        from multiprocessing import shared_memory
+
+        ctx = mp.get_context("fork")
+        ready_q = ctx.Queue(maxsize=self.depth)
+        child = ctx.Process(
+            target=_shm_collate_worker,
+            args=(
+                self.dataset,
+                self.batch_size,
+                self.shuffle,
+                self.process_slice,
+                ready_q,
+            ),
+            daemon=True,
+        )
+        child.start()
+
+        def _reclaim(msg):
+            """shm payload -> dict of np arrays (copied out only by
+            device_put or np.array below), then unlink."""
+            name, meta = msg
+            shm = shared_memory.SharedMemory(name=name)
+            try:
+                raw = {}
+                view = None
+                for k, dt, shape, off in meta:
+                    count = int(np.prod(shape, dtype=np.int64))
+                    view = np.frombuffer(
+                        shm.buf, dtype=np.dtype(dt), count=count, offset=off
+                    ).reshape(shape)
+                    raw[k] = view
+                if self.to_device:
+                    import jax
+
+                    if jax.default_backend() == "cpu":
+                        # CPU PJRT device_put is ZERO-COPY for aligned host
+                        # arrays — the jax.Array would alias the shm block
+                        # we are about to unlink.  Accelerator backends
+                        # copy to the transfer machinery before returning.
+                        raw = {k: np.array(v) for k, v in raw.items()}
+                    out = jax.device_put(raw)
+                else:
+                    out = {k: np.array(v) for k, v in raw.items()}
+                del raw, view
+                return out
+            finally:
+                shm.close()
+                try:
+                    shm.unlink()
+                except FileNotFoundError:
+                    pass
+
+        try:
+            while True:
+                try:
+                    msg = ready_q.get(timeout=1.0)
+                except queue.Empty:
+                    if not child.is_alive():
+                        raise RuntimeError(
+                            "collate worker died without a sentinel "
+                            f"(exitcode {child.exitcode})"
+                        )
+                    continue
+                if msg is None:
+                    break
+                if msg[0] == "__error__":
+                    raise RuntimeError(f"collate worker failed: {msg[1]}")
+                yield _reclaim(msg)
+        finally:
+            if child.is_alive():
+                child.terminate()
+            # drain anything the child published before it died/terminated
+            try:
+                while True:
+                    msg = ready_q.get_nowait()
+                    if msg and msg is not None and msg[0] != "__error__":
+                        try:
+                            shared_memory.SharedMemory(name=msg[0]).unlink()
+                        except FileNotFoundError:
+                            pass
+            except queue.Empty:
+                pass
+            child.join(timeout=5)

@@ -197,12 +197,29 @@ class Trainer:
                 step_t0 = time.time()
                 self.writer.scalars({f"train/{k}": v for k, v in host.items()}, pstep)
 
+        # Process-based collate (DataConfig.collate_process): decode+collate
+        # behind a fork(), shared-memory handoff, upload stays here.  The
+        # multi-host slice path keeps the thread producer — there
+        # ``globalize`` owns the transfer and slices are small.
+        if self.config.data.collate_process and proc_slice is None:
+            from vcagan.data.prefetch import ProcessEpoch
+
+            def make_epoch():
+                return ProcessEpoch(
+                    self.train_ds, tc.batch_size, depth=2, to_device=True
+                )
+
+        else:
+
+            def make_epoch():
+                return ParallelEpoch(
+                    self.train_ds, tc.batch_size, depth=2,
+                    process_slice=proc_slice, to_device=proc_slice is None,
+                )
+
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
-            for raw in ParallelEpoch(
-                self.train_ds, tc.batch_size, depth=2, process_slice=proc_slice,
-                to_device=proc_slice is None,
-            ):
+            for raw in make_epoch():
                 if profile_steps and step == profile_steps[0]:
                     jax.profiler.start_trace(profile_dir)
                 self.rng, k_pipe, k_step = jax.random.split(self.rng, 3)
