@@ -7,6 +7,8 @@ postnet -> 60-iter Griffin-Lim, fp32 GL):
   fold       fold_bn modules + fold_generator_side params, bf16 compute
   fold+w16   fold + params cast to bf16 (GRU 'sentence_encoder' subtree
              kept fp32 — the recurrence is pinned fp32, CLAUDE.md)
+  fold+fused fold + the trunk's 5 stride-1 ResNet blocks each as ONE
+             Pallas kernel (vcagan.kernels.fused_block)
 
 Each timed whole-graph with 8 launches in flight and one scalar-readback
 sync (block_until_ready is unreliable through the tunnel).  Also reports a
@@ -45,7 +47,7 @@ def _timed(fn, args, n_inflight=8, warmup=2):
     return (time.perf_counter() - t0) / n_inflight
 
 
-def build(fold: bool, bf16: bool):
+def build(fold: bool, bf16: bool, fused: bool = False):
     from vcagan.configs import AudioConfig, ModelConfig
     from vcagan.dsp import MelPipeline
     from vcagan.nn import fold_generator_side
@@ -58,7 +60,9 @@ def build(fold: bool, bf16: bool):
     g_params = {k: params[k] for k in ("v_front", "gen", "post")}
     g_stats = {k: stats[k] for k in ("v_front", "gen", "post")}
     modules = (
-        VCAGANModules.create(ModelConfig(use_bfloat16=bf16), fold_bn=True)
+        VCAGANModules.create(
+            ModelConfig(use_bfloat16=bf16), fold_bn=True, fused_blocks=fused
+        )
         if fold
         else base
     )
@@ -129,14 +133,19 @@ def main():
     wav2 = np.asarray(fn1(p2, s1, video, vid_len, key))
     t2 = _timed(fn1, (p2, s1, video, vid_len, key))
 
+    fn3, p3, s3 = build(fold=True, bf16=bf16, fused=True)
+    wav3 = np.asarray(fn3(p3, s3, video, vid_len, key))
+    t3 = _timed(fn3, (p3, s3, video, vid_len, key))
+
     def rel(w):
         return float(np.linalg.norm(w - wav0) / (np.linalg.norm(wav0) + 1e-9))
 
     tag = "bf16" if bf16 else "fp32"
     for name, t, w in (
-        ("base     ", t0, wav0),
-        ("fold     ", t1, wav1),
-        ("fold+w16 ", t2, wav2),
+        ("base      ", t0, wav0),
+        ("fold      ", t1, wav1),
+        ("fold+w16  ", t2, wav2),
+        ("fold+fused", t3, wav3),
     ):
         print(
             f"{tag} b{args.batch}x{args.frames}f {name}: {t * 1e3:7.1f} ms  "

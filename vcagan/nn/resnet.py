@@ -18,12 +18,44 @@ from flax import linen as nn
 from vcagan.nn.common import PReLU, batch_norm, kaiming_conv_init
 
 
+class _ConvParams(nn.Module):
+    """Declare a conv's (kernel, bias) without computing it — the fused
+    serving kernel consumes the raw arrays but the param tree must stay
+    identical to the ``nn.Conv`` it replaces (checkpoints/fold walker)."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", kaiming_conv_init(), self.shape),
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],)),
+        )
+
+
+class _AlphaParams(nn.Module):
+    """PReLU slope param only (same tree as common.PReLU)."""
+
+    channels: int
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "alpha", lambda _: jnp.full((self.channels,), self.init, jnp.float32)
+        )
+
+
 class BasicBlock(nn.Module):
     """conv3x3 -> BN -> PReLU -> conv3x3 -> BN -> (+shortcut) -> PReLU.
 
     ``fold_bn``: serving mode — every conv -> BN pair is pre-folded into a
     biased conv (vcagan.nn.fold), so the BN ops are skipped entirely.
     Eval-only (asserted): folded params carry frozen statistics.
+
+    ``fused``: additionally run the stride-1 identity-shortcut blocks as
+    ONE Pallas kernel (vcagan.kernels.fused_block) — requires fold_bn.
+    Projection blocks keep the XLA path.
     """
 
     planes: int
@@ -31,12 +63,29 @@ class BasicBlock(nn.Module):
     relu_type: str = "prelu"
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         assert not (self.fold_bn and train), "fold_bn is an eval-only mode"
         in_planes = x.shape[-1]
         needs_proj = self.stride != 1 or in_planes != self.planes
+
+        if (
+            self.fused
+            and self.fold_bn
+            and not needs_proj
+            and self.relu_type == "prelu"
+        ):
+            from vcagan.kernels.fused_block import fused_basic_block
+
+            w1, b1 = _ConvParams((3, 3, in_planes, self.planes), name="conv1")()
+            a1 = _AlphaParams(self.planes, name="act1")()
+            w2, b2 = _ConvParams((3, 3, self.planes, self.planes), name="conv2")()
+            a2 = _AlphaParams(self.planes, name="act2")()
+            return fused_basic_block(
+                x.astype(self.dtype), w1, b1, a1, w2, b2, a2
+            )
 
         out = nn.Conv(
             self.planes,
@@ -94,6 +143,7 @@ class ResNetTrunk(nn.Module):
     relu_type: str = "prelu"
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -106,6 +156,7 @@ class ResNetTrunk(nn.Module):
                     relu_type=self.relu_type,
                     dtype=self.dtype,
                     fold_bn=self.fold_bn,
+                    fused=self.fused,
                     name=f"layer{stage + 1}_{block}",
                 )(x, train)
         # Global spatial mean == AvgPool2d(4) on the final 4x4 map

@@ -60,6 +60,7 @@ class VisualFront(nn.Module):
     frontend_dropout: float = 0.3
     dtype: jnp.dtype = jnp.float32
     fold_bn: bool = False  # serving: conv->BN pairs pre-folded (nn/fold.py)
+    fused: bool = False  # serving: stride-1 ResNet blocks as one Pallas kernel
 
     @nn.compact
     def __call__(
@@ -111,7 +112,8 @@ class VisualFront(nn.Module):
         h, w, c = x.shape[2], x.shape[3], x.shape[4]
         x = x.reshape(b * t, h, w, c)
         x = ResNetTrunk(
-            dtype=self.dtype, fold_bn=self.fold_bn, name="resnet"
+            dtype=self.dtype, fold_bn=self.fold_bn, fused=self.fused,
+            name="resnet",
         )(x, train)  # (B*T, 512)
         x = nn.Dropout(self.frontend_dropout, deterministic=not train)(x)
         phon = x.reshape(b, t, self.feature_dim)

@@ -39,11 +39,19 @@ class VCAGANModules:
 
     @classmethod
     def create(
-        cls, config: ModelConfig | None = None, fold_bn: bool = False
+        cls,
+        config: ModelConfig | None = None,
+        fold_bn: bool = False,
+        fused_blocks: bool = False,
     ) -> "VCAGANModules":
         """``fold_bn=True`` builds the eval-only serving variant whose
         conv->BN pairs are pre-folded into biased convs; apply it with
-        params transformed by ``vcagan.nn.fold.fold_generator_side``."""
+        params transformed by ``vcagan.nn.fold.fold_generator_side``.
+        ``fused_blocks=True`` (requires fold_bn) additionally runs the
+        trunk's stride-1 ResNet blocks as single Pallas kernels
+        (vcagan.kernels.fused_block)."""
+        if fused_blocks and not fold_bn:
+            raise ValueError("fused_blocks requires fold_bn=True (serving mode)")
         m = config or ModelConfig()
         dtype = jnp.bfloat16 if m.use_bfloat16 else jnp.float32
         return cls(
@@ -56,6 +64,7 @@ class VCAGANModules:
                 frontend_dropout=m.frontend_dropout,
                 dtype=dtype,
                 fold_bn=fold_bn,
+                fused=fused_blocks,
             ),
             gen=Decoder(
                 noise_dim=m.noise_dim,
