@@ -63,6 +63,10 @@ def parse_args(argv=None):
     p.add_argument("--synthetic_clips", type=int, default=4,
                    help="clip count for the synthetic fallback corpus "
                         "(LRS-scale timing runs use ~1300)")
+    p.add_argument("--no_sort_by_length", action="store_true",
+                   help="disable length-sorted batching (sorted batching "
+                        "puts same-length clips together so each batch "
+                        "runs at the smallest bucket shape that fits)")
     p.add_argument("--time_breakdown", action="store_true",
                    help="print a JSON wall-time breakdown (device vocode "
                         "sync / STOI / PESQ / artifact dump) at the end")
@@ -119,7 +123,13 @@ def main(argv=None):
     # overlap decode/collate with device compute + host metric scoring
     for i, raw in enumerate(
         prefetch_iterator(
-            ds.epoch(args.batch_size, shuffle=False, drop_last=False), depth=2
+            ds.epoch(
+                args.batch_size,
+                shuffle=False,
+                drop_last=False,
+                sort_by_length=not args.no_sort_by_length,
+            ),
+            depth=2,
         )
     ):
         if args.max_batches is not None and i >= args.max_batches:
@@ -169,8 +179,9 @@ def main(argv=None):
 
         t0 = _time.perf_counter()
         g3_np, gs_np = np.asarray(g3), np.asarray(gs)
+        gids = np.asarray(raw["idx"])
         for b in range(nv):
-            name = ds.source.name(i * args.batch_size + b)
+            name = ds.source.name(int(gids[b]))
             rel = name.replace("/", "_")
             mel_dir = os.path.join(out_base, "mel")
             wav_dir = os.path.join(out_base, "wav")

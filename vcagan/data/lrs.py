@@ -383,6 +383,7 @@ class LRSDataset:
         shuffle: bool = True,
         drop_last: bool = True,
         process_slice: Optional[slice] = None,
+        sort_by_length: bool = False,
     ) -> Iterator[dict]:
         """See GridDataset.epoch for the drop_last / process_slice contract.
 
@@ -391,6 +392,14 @@ class LRSDataset:
         rows, no decode needed) over ALL of the batch's clips BEFORE the
         process slice, so every host picks the same static shape — like
         the window-start draws, which are also made globally.
+
+        ``sort_by_length`` (eval only, ignored under shuffle): order clips
+        by metadata frame count so batches are length-homogeneous — each
+        batch then lands in the SMALLEST bucket that fits it instead of
+        the max over an arbitrary mix, cutting flip-TTA forward + GL
+        compute roughly in proportion to the length distribution
+        (the LRS-scale eval is ~73% vocode+forward, CLAUDE.md).  Identity
+        is preserved via the ``idx`` array in each raw batch.
         """
         n = len(self.source)
         if n == 0 or (drop_last and n < batch_size):
@@ -402,6 +411,11 @@ class LRSDataset:
         order = np.arange(n)
         if shuffle:
             self.rng.shuffle(order)
+        elif sort_by_length:
+            counts = np.asarray(
+                [self.source.frame_count(int(i)) for i in order]
+            )
+            order = order[np.argsort(counts, kind="stable")]
 
         def _starts_u():
             # full-global-batch draws before slicing (see GridDataset.epoch)
@@ -520,6 +534,9 @@ class LRSDataset:
             "vid_len": np.asarray(vid_lens, np.int32),
             "mel_len": np.asarray(mel_lens, np.int32),
             "n_valid": np.int32(len(idxs) if n_valid is None else n_valid),
+            # global clip ids: artifact naming stays correct under
+            # sort_by_length / shuffled orders
+            "idx": np.asarray(idxs, np.int32),
         }
         if centers_m:
             raw["centers_m"] = np.stack(centers_m)
