@@ -121,6 +121,7 @@ _SOAK_NPZ = next(
     (
         p
         for p in (
+            os.path.join(os.path.dirname(__file__), "..", "data", "soak_serving_q8.npz"),
             os.path.join(os.path.dirname(__file__), "..", "data", "soak_serving_fp16.npz"),
             os.path.join(
                 os.path.dirname(__file__), "..", "runs", "soak_bf16_b32", "serving_fp16.npz"

@@ -26,6 +26,70 @@ class TestWav:
         assert back.max() <= 1.0 and back.min() >= -1.0
 
 
+class TestServingNpz:
+    @staticmethod
+    def _trees():
+        r = np.random.default_rng(0)
+        params = {
+            "v_front": {"conv": {"kernel": r.standard_normal((3, 3, 8, 5000)).astype(np.float32)}},
+            "gen": {"dense": {"kernel": r.standard_normal((64, 128)).astype(np.float32),
+                               "bias": r.standard_normal(128).astype(np.float32)}},
+            "post": {"w": r.standard_normal((16, 16)).astype(np.float32)},
+            "dis1": {"ignored": np.zeros(3, np.float32)},  # not generator-side
+        }
+        stats = {
+            "v_front": {"bn": {"mean": r.standard_normal(8).astype(np.float32),
+                                "var": np.abs(r.standard_normal(8)).astype(np.float32)}},
+            "gen": {},
+            "post": {},
+        }
+        return params, stats
+
+    def test_fp16_roundtrip(self, tmp_path):
+        from vcagan.io.serving_npz import load_serving_npz, save_serving_npz
+
+        params, stats = self._trees()
+        path = str(tmp_path / "s.npz")
+        save_serving_npz(params, stats, path)
+        g, s = load_serving_npz(path, params, stats)
+        np.testing.assert_allclose(
+            g["gen"]["dense"]["kernel"], params["gen"]["dense"]["kernel"],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            s["v_front"]["bn"]["var"], stats["v_front"]["bn"]["var"],
+            rtol=2e-3, atol=2e-3,
+        )
+
+    def test_q8_roundtrip_and_size(self, tmp_path):
+        """q8: large param leaves stored int8 + per-channel scales; BN
+        stats and small leaves stay fp16.  Error bounded by scale/2 =
+        max|w|/254 per channel."""
+        from vcagan.io.serving_npz import load_serving_npz, save_serving_npz
+
+        params, stats = self._trees()
+        p16 = str(tmp_path / "fp16.npz")
+        pq8 = str(tmp_path / "q8.npz")
+        save_serving_npz(params, stats, p16)
+        save_serving_npz(params, stats, pq8, quantize="q8")
+        assert os.path.getsize(pq8) < 0.7 * os.path.getsize(p16)
+
+        g, s = load_serving_npz(pq8, params, stats)
+        big = params["v_front"]["conv"]["kernel"]
+        got = g["v_front"]["conv"]["kernel"]
+        bound = np.max(np.abs(big), axis=(0, 1, 2)) / 127.0
+        assert np.all(np.abs(got - big) <= bound[None, None, None, :] * 0.51 + 1e-7)
+        # small leaves bypass quantization entirely (fp16 path)
+        np.testing.assert_allclose(
+            g["gen"]["dense"]["bias"], params["gen"]["dense"]["bias"],
+            rtol=2e-3, atol=2e-3,
+        )
+        np.testing.assert_allclose(
+            s["v_front"]["bn"]["mean"], stats["v_front"]["bn"]["mean"],
+            rtol=2e-3, atol=2e-3,
+        )
+
+
 class TestCheckpointManager:
     def _state(self, value):
         return {"params": {"w": np.full((3,), value, np.float32)},

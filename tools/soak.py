@@ -110,6 +110,14 @@ def main():
         trainer.state.batch_stats,
         os.path.join(out, "serving_fp16.npz"),
     )
+    # committable int8 fixture for the fresh-checkout trained-weights pin
+    # (copy to data/soak_serving_q8.npz and commit; see serving_npz.py)
+    save_serving_npz(
+        trainer.state.g_params,
+        trainer.state.batch_stats,
+        os.path.join(out, "serving_q8.npz"),
+        quantize="q8",
+    )
 
     # ---- audit the trajectory ----
     rows = [json.loads(l) for l in open(metrics_path)]

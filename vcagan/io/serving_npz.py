@@ -30,15 +30,35 @@ def _leaf_key(kind: str, mod: str, key_path) -> str:
     )
 
 
-def save_serving_npz(g_params, batch_stats, path: str) -> None:
-    """Flatten {v_front,gen,post} params + BN stats to fp16 and compress."""
+def save_serving_npz(g_params, batch_stats, path: str, quantize: str | None = None) -> None:
+    """Flatten {v_front,gen,post} params + BN stats, compressed.
+
+    ``quantize=None``: fp16 leaves (~100 MB for the 51.8M-param G side —
+    serving-grade, too big to commit).  ``quantize="q8"``: symmetric int8
+    with per-output-channel (last axis) fp32 scales (~52 MB — the
+    committed trained-weights fixture, data/soak_serving_q8.npz).  q8 is
+    NOT a serving format: it exists so the fresh-checkout suite can run
+    the trained-weights bf16-vs-fp32 pin, which compares the two dtypes
+    on the SAME loaded weights — quantization noise cancels out of that
+    comparison.  BN stats stay fp16 either way (var must stay exact-ish
+    for eval BN).
+    """
     flat = {}
     for kind, tree in (("params", g_params), ("stats", batch_stats)):
         for mod, sub in tree.items():
             if mod not in GENERATOR_SIDE:
                 continue
             for kp, leaf in jax.tree_util.tree_flatten_with_path(sub)[0]:
-                flat[_leaf_key(kind, mod, kp)] = np.asarray(leaf, np.float16)
+                key = _leaf_key(kind, mod, kp)
+                arr = np.asarray(leaf, np.float32)
+                if quantize == "q8" and kind == "params" and arr.size > 4096:
+                    scale = np.max(np.abs(arr), axis=tuple(range(arr.ndim - 1)))
+                    scale = np.maximum(scale, 1e-12) / 127.0
+                    q = np.clip(np.round(arr / scale), -127, 127).astype(np.int8)
+                    flat["q8:" + key] = q
+                    flat["q8s:" + key] = scale.astype(np.float32)
+                else:
+                    flat[key] = arr.astype(np.float16)
     np.savez_compressed(path, **flat)
 
 
@@ -59,14 +79,19 @@ def load_serving_npz(
             vals = []
             for kp, leaf in leaves:
                 key = _leaf_key(kind, mod, kp)
-                if key not in stored:
+                if "q8:" + key in stored:
+                    q = stored["q8:" + key].astype(np.float32)
+                    arr = q * stored["q8s:" + key]
+                    used.update(("q8:" + key, "q8s:" + key))
+                elif key in stored:
+                    arr = stored[key].astype(np.float32)
+                    used.add(key)
+                else:
                     raise KeyError(f"{path} is missing {key}")
-                arr = stored[key].astype(np.float32)
                 if arr.shape != np.shape(leaf):
                     raise ValueError(
                         f"{key}: stored {arr.shape} vs template {np.shape(leaf)}"
                     )
-                used.add(key)
                 vals.append(arr)
             out[mod] = jax.tree_util.tree_unflatten(treedef, vals)
         return out
