@@ -98,6 +98,38 @@ class TestLRSDataset:
         assert raw["video_raw"].shape[1] in LRSDataset.BUCKETS
         assert (raw["vid_len"] <= raw["video_raw"].shape[1]).all()
 
+    def test_sort_by_length_shrinks_buckets_and_keeps_identity(self):
+        """Length-sorted eval batching: batches become length-homogeneous
+        (early batches land in SMALLER buckets than the unsorted max-mix),
+        every clip is still scored exactly once, and the 'idx' ids map
+        each row back to its source clip."""
+        src = SyntheticLRSSource(num_clips=6, min_frames=20, max_frames=110)
+        ds = LRSDataset(
+            src,
+            AudioConfig(f_max=7600.0),
+            DataConfig(dataset="LRS2", window_size=50, max_v_timesteps=160),
+            mode="val",
+        )
+        batches = list(
+            ds.epoch(2, shuffle=False, drop_last=False, sort_by_length=True)
+        )
+        seen = []
+        prev_bucket = 0
+        for raw in batches:
+            w = raw["video_raw"].shape[1]
+            assert w in LRSDataset.BUCKETS or w == 160
+            assert w >= prev_bucket  # sorted -> buckets non-decreasing
+            prev_bucket = w
+            nv = int(raw["n_valid"])
+            for b in range(nv):
+                gid = int(raw["idx"][b])
+                assert int(raw["vid_len"][b]) == min(src.frame_count(gid), 160)
+                seen.append(gid)
+        assert sorted(seen) == list(range(6))
+        # the sort must actually help: first batch strictly smaller than
+        # the max bucket (the synthetic spread guarantees a short pair)
+        assert batches[0]["video_raw"].shape[1] < batches[-1]["video_raw"].shape[1]
+
     def test_device_pipeline(self):
         ds = LRSDataset(
             SyntheticLRSSource(num_clips=2, min_frames=40, max_frames=60),
