@@ -75,19 +75,19 @@ def _conv3x3_taps(xp, w):
     return acc
 
 
-def _block_kernel(x_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref,
-                  o_ref, xp_ref, hp_ref):
-    nb, h, wd, c = x_ref.shape
+def _block_kernel(x_ref, w1_ref, b1_ref, a1_ref, w2_ref, b2_ref, a2_ref, o_ref):
+    _, _, _, c = x_ref.shape
     x = x_ref[:]
+    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
 
-    xp_ref[:] = jnp.zeros(xp_ref.shape, xp_ref.dtype)
-    xp_ref[:, 1 : h + 1, 1 : wd + 1, :] = x
-    hcur = _conv3x3_taps(xp_ref[:], w1_ref[:]) + b1_ref[:].reshape(1, 1, 1, c)
+    # SAME padding via jnp.pad (lowers to concatenate — conservative
+    # Mosaic surface; sliced scratch writes were the riskier alternative)
+    xp = jnp.pad(x, pad)
+    hcur = _conv3x3_taps(xp, w1_ref[:]) + b1_ref[:].reshape(1, 1, 1, c)
     hcur = _prelu(hcur, a1_ref[:].reshape(1, 1, 1, c)).astype(x.dtype)
 
-    hp_ref[:] = jnp.zeros(hp_ref.shape, hp_ref.dtype)
-    hp_ref[:, 1 : h + 1, 1 : wd + 1, :] = hcur
-    y = _conv3x3_taps(hp_ref[:], w2_ref[:]) + b2_ref[:].reshape(1, 1, 1, c)
+    hp = jnp.pad(hcur, pad)
+    y = _conv3x3_taps(hp, w2_ref[:]) + b2_ref[:].reshape(1, 1, 1, c)
     y = y + x.astype(jnp.float32)
     o_ref[:] = _prelu(y, a2_ref[:].reshape(1, 1, 1, c)).astype(o_ref.dtype)
 
@@ -117,12 +117,6 @@ def _fused_block_pallas(x, w1, b1, a1, w2, b2, a2, nb=16, interpret=False):
         ],
         out_specs=pl.BlockSpec((nb, h, wd, c), lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((x.shape[0], h, wd, c), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((nb, h + 2, wd + 2, c), x.dtype),
-            pltpu.VMEM((nb, h + 2, wd + 2, c), x.dtype),
-        ]
-        if _HAS_PLTPU
-        else [],
         interpret=interpret,
     )(
         x,
