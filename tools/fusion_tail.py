@@ -29,7 +29,8 @@ enable_compilation_cache()
 import jax
 
 
-def build_compiled(batch_size: int, window: int, bf16: bool):
+def build_compiled(batch_size: int, window: int, bf16: bool,
+                   remat: str = "none", d_phase: str = "ref"):
     from vcagan.train import make_train_step
 
     from _fixtures import train_fixture
@@ -37,7 +38,11 @@ def build_compiled(batch_size: int, window: int, bf16: bool):
     modules, cfg, g_tx, d_tx, state, batch = train_fixture(
         batch_size, window, bf16
     )
-    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=False)
+    # donate=True matches bench_train/Trainer exactly, so the (expensive)
+    # TPU compile is a persistent-cache load whenever the same config was
+    # already benched — the analysis only needs compiled.as_text().
+    step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True,
+                              remat=remat, d_phase=d_phase)
     return step_fn.lower(state, batch, jax.random.PRNGKey(0)).compile()
 
 
@@ -79,11 +84,15 @@ def main():
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--window", type=int, default=40)
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--remat", type=str, default="none")
+    p.add_argument("--d_phase", type=str, default="ref",
+                   choices=("ref", "batched"))
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--dump", type=str, default=None, help="write HLO text here")
     args = p.parse_args()
 
-    compiled = build_compiled(args.batch, args.window, args.bf16)
+    compiled = build_compiled(args.batch, args.window, args.bf16,
+                              remat=args.remat, d_phase=args.d_phase)
     hlo = compiled.as_text()
     if args.dump:
         with open(args.dump, "w") as f:
