@@ -215,6 +215,7 @@ class TestBf16TrainedWeights:
         assert abs(float(np.mean(d_gt))) < 0.01, d_gt
 
 
+@pytest.mark.slow
 class TestLRSTrainConfig:
     def test_one_step_with_lrs_losses(self):
         """LRS deltas: sync D weight 0.5, recon on normalized mels, plain

@@ -28,6 +28,7 @@ def trainer(tmp_path_factory):
     return Trainer(cfg, log_dir=log_dir, use_mesh=True)
 
 
+@pytest.mark.slow
 class TestTrainerSmoke:
     def test_fit_two_steps(self, trainer):
         final = trainer.fit(epochs=1, max_steps=2)

@@ -1,6 +1,7 @@
 """Data/model-parallel sharding tests on the 8-virtual-device CPU mesh."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,6 +44,7 @@ class TestMesh:
         )
 
 
+@pytest.mark.slow
 class TestShardedNumericEquivalence:
     """The FULL dp4xtp2 sharded train step must reproduce the single-device
     step NUMERICALLY — metrics, gradients, BN stats — not merely produce
@@ -166,6 +168,7 @@ class TestShardedNumericEquivalence:
         assert stats_delta.max() < 1e-4, float(stats_delta.max())
 
 
+@pytest.mark.slow
 class TestDryrunMultichip:
     def test_dryrun_8_devices(self):
         """The driver-facing multichip dry run: full GAN train step, 4x2

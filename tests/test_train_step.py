@@ -45,6 +45,7 @@ def setup():
     return modules, state, step_fn
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_one_step_finite_and_updates(self, setup):
         modules, state, step_fn = setup
