@@ -42,6 +42,7 @@ SHAPES = [  # (N, H, W, C) for the trunk's stride-1 blocks at b48x75f
 def main():
     dtype = jnp.bfloat16 if "--fp32" not in sys.argv else jnp.float32
     for n, h, w, c in SHAPES:
+        print(f"({n},{h},{w},{c}): building...", flush=True)
         r = np.random.default_rng(0)
         x = jnp.asarray(r.standard_normal((n, h, w, c)), dtype)
         w1 = jnp.asarray(r.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
@@ -52,8 +53,11 @@ def main():
         nb = _tile_images(n, h, c, dtype)
 
         try:
+            t_c = time.perf_counter()
             out = _fused_block_pallas(*args, nb=nb)
-            out.block_until_ready()
+            _ = float(jnp.sum(jnp.abs(out).astype(jnp.float32)))
+            print(f"  pallas compile+run {time.perf_counter() - t_c:.1f}s",
+                  flush=True)
         except Exception as e:
             print(f"({n},{h},{w},{c}) nb={nb}: LOWERING FAILED: {type(e).__name__}: "
                   f"{str(e)[:300]}")
