@@ -147,9 +147,9 @@ def main():
     if not args.skip_train:
         train_step(results, 16, 40, bf16=False)
         train_step(results, 32, 40, bf16=True)
-        # the record config: b112 bf16 + stem,R1 remat (+ the 64 MiB
+        # the record config (round 5): b96 bf16 + R1 remat (+ the 64 MiB
         # scoped-vmem budget make_train_step now applies by default on TPU)
-        train_step(results, 112, 40, bf16=True, remat="stem,r1")
+        train_step(results, 96, 40, bf16=True, remat="r1")
 
     import json
 

@@ -54,6 +54,8 @@ def main():
     p.add_argument("--window", type=int, default=40)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--remat", type=str, default="none")
+    p.add_argument("--compiler_opts", type=str, default="",
+                   help="'none' = raw compiler defaults, '' = shipped default, or k=v list")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args()
 
@@ -65,7 +67,6 @@ def main():
 
     from vcagan.configs import grid_config
     from vcagan.train.loop import Trainer
-    from vcagan.train.step import make_train_step
 
     tag = f"{'bf16' if args.bf16 else 'fp32'}_b{args.batch}"
     out = args.out or f"./runs/soak_{tag}"
@@ -85,11 +86,17 @@ def main():
         }
     )
     trainer = Trainer(cfg, log_dir=out, synthetic_fallback=True)
+    overrides = {}
     if args.remat != "none":
-        trainer.train_step = make_train_step(
-            trainer.modules, trainer.g_tx, trainer.d_tx, cfg.train,
-            donate=True, mesh=trainer.mesh, remat=args.remat,
+        overrides["remat"] = args.remat
+    if args.compiler_opts == "none":
+        overrides["compiler_options"] = None
+    elif args.compiler_opts:
+        overrides["compiler_options"] = dict(
+            kv.split("=", 1) for kv in args.compiler_opts.split(",")
         )
+    if overrides:
+        trainer.rebuild_train_step(**overrides)
 
     bn0 = _bn_summary(trainer.state.batch_stats)
     t0 = time.time()

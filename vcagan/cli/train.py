@@ -54,7 +54,7 @@ def parse_args(argv=None):
                         "(params and losses stay fp32; ~25%% more clips/s)")
     p.add_argument("--remat", type=str, default="none",
                    help="selective remat sites (none|r1|stem|vfront, comma-separable); "
-                        "stem,r1 unlocks bf16 batch 112 on one chip (173.4 clips/s)")
+                        "r1 + bf16 batch 96 is the single-chip record (190.3 clips/s)")
     p.add_argument("--d_phase", type=str, default="ref",
                    choices=("ref", "batched"),
                    help="D-phase program structure (ref|batched), math-identical; "

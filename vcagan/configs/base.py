@@ -150,10 +150,11 @@ class TrainConfig:
     # conv/BN/PReLU/maxpool stem chain inside the visual front (nn.remat)
     # so only the 4x-smaller pooled output stays live — slightly slower
     # than the compiler's auto-remat where both fit (160.6 vs 168.9
-    # clips/s at bf16 batch 96) but the only recipe that fits batch 112,
-    # the single-chip record (173.4 clips/s, "stem,r1").  "vfront" trades
-    # much more recompute and measured
-    # ~25% slower at every shape — available for memory-starved
+    # clips/s at bf16 batch 96, round-4 compiler).  The single-chip
+    # record recipe is bf16 batch 96 + "r1" (190.3 clips/s, round-5
+    # compiler; the former b112 "stem,r1" record regressed under it —
+    # runs/r5_tpu_session.log).  "vfront" trades much more recompute and
+    # measured ~25% slower at every shape — available for memory-starved
     # configurations only.
     remat: str = "none"
     # D-phase program structure ("ref" | "batched"), math-identical either
@@ -162,8 +163,9 @@ class TrainConfig:
     # cached TPU executable; "batched" concatenates real+fake into one
     # 2B-batch discriminator forward per scale and takes the 3 R1 grads
     # jointly — fewer, larger kernels against the small-fusion latency
-    # tail.  Must be measured on-chip (tools/bench_train.py --d_phase
-    # batched) before ever making it the default.
+    # tail.  Measured on-chip round 5 (runs/r5_tpu_session.log): NEUTRAL
+    # (b32 149.4 vs 152.3, b64 166.7 vs 164.8, b112 111.0 vs 112.1
+    # clips/s) — not worth abandoning the cached ref trace order.
     d_phase: str = "ref"
 
 

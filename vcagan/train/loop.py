@@ -96,10 +96,14 @@ class Trainer:
             self.process_eval = make_device_pipeline(
                 config.audio, config.data, augment=False
             )
-        self.train_step = make_train_step(
-            self.modules, self.g_tx, self.d_tx, tc, donate=True, mesh=self.mesh,
+        self._step_kwargs = dict(
             remat=getattr(tc, "remat", "none"),
             d_phase=getattr(tc, "d_phase", "ref"),
+        )
+        self._step_options_fallback = False
+        self.train_step = make_train_step(
+            self.modules, self.g_tx, self.d_tx, tc, donate=True, mesh=self.mesh,
+            **self._step_kwargs,
         )
         self.eval_step = make_eval_step(self.modules)
         self.rng = jax.random.PRNGKey(tc.seed)
@@ -228,7 +232,7 @@ class Trainer:
                 batch = self.process_train(raw, k_pipe)
                 if self.mesh is not None and proc_slice is None:
                     batch = shard_batch(batch, self.mesh)
-                self.state, metrics = self.train_step(self.state, batch, k_step)
+                self.state, metrics = self._call_train_step(batch, k_step)
                 step += 1
                 flush()  # read back step-1's metrics while this step runs
                 pending = (step, metrics)
@@ -254,6 +258,44 @@ class Trainer:
                 {"train/epoch_seconds": time.time() - t0}, step
             )
         return step
+
+    def rebuild_train_step(self, **overrides):
+        """Rebuild the jitted step with changed kwargs (e.g. a remat recipe
+        the config didn't carry); the compile-fallback below keeps working."""
+        self._step_kwargs.update(overrides)
+        self.train_step = make_train_step(
+            self.modules, self.g_tx, self.d_tx, self.config.train,
+            donate=True, mesh=self.mesh, **self._step_kwargs,
+        )
+
+    def _call_train_step(self, batch, k_step):
+        """One jitted step, degrading to an option-less compile on tunnel
+        compile-helper failure.
+
+        The default step carries the measured TPU compiler options
+        (step._tpu_compiler_options, +2% at the bench shapes), but the
+        tunnel's remote compile helper INTERMITTENTLY SIGKILLs option-ful
+        fresh compiles (observed round 4 persistently, round 5 on 1 of 4:
+        runs/r5_tpu_session.log vs the 01:35 soak failure).  A +2% option
+        must not cost a training run, so the first helper failure rebuilds
+        the step with raw compiler defaults — usually a persistent-cache
+        hit — and retries.  Compile failures raise before execution, so
+        donated buffers are still intact.
+        """
+        try:
+            return self.train_step(self.state, batch, k_step)
+        except jax.errors.JaxRuntimeError as e:
+            if self._step_options_fallback or "remote_compile" not in str(e):
+                raise
+            print(
+                "train-step compile failed through the tunnel helper "
+                f"({str(e).splitlines()[0][:120]}); retrying with "
+                "compiler_options=None",
+                flush=True,
+            )
+            self._step_options_fallback = True
+            self.rebuild_train_step(compiler_options=None)
+            return self.train_step(self.state, batch, k_step)
 
     def _globalize_raw(self, raw: dict) -> dict:
         """Per-host raw batch slice -> global arrays on the mesh's data

@@ -103,9 +103,10 @@ def make_train_step(
     (nn.remat in nn/visual_front.py) so just the 4x-smaller pooled output
     stays live — far less recompute than ``"vfront"``; where both fit the
     TPU compiler's own auto-remat is slightly faster (168.9 vs 160.6
-    clips/s at bf16 batch 96) but ``"stem,r1"`` is the only recipe that
-    fits batch 112, the single-chip record (173.4 clips/s; see
-    tools/bench_train.py); ``"r1"``
+    clips/s at bf16 batch 96 on the round-4 compiler).  The single-chip
+    record is bf16 batch 96 ``"r1"`` = 190.3 clips/s (round-5 compiler;
+    the round-4 b112 ``"stem,r1"`` record regressed under it — see
+    runs/r5_tpu_session.log and tools/bench_train.py); ``"r1"``
     checkpoints the discriminator forward inside the R1 gradient penalty
     (the second-order path).  ``"none"`` (default) stores everything.
     (A policy-based ``save_anything_except_these_names`` remat over the
@@ -450,24 +451,29 @@ def _tpu_compiler_options():
 
     A 64 MiB scoped-VMEM budget lets the fusion emitter build larger
     fusions against the step's small-fusion latency tail: +1.9% whole-step
-    throughput at the record config (tools/sweep_xla_flags.py, b64 bf16
-    remat=r1: 142.3 -> 145.0 clips/s; 32 MiB regressed, 128 MiB fails —
-    that is the entire v5e VMEM).  Options must be set via PJRT
+    throughput at b64 bf16 remat=r1 in the round-3 sweep
+    (tools/sweep_xla_flags.py: 142.3 -> 145.0 clips/s; 32 MiB regressed,
+    128 MiB fails — that is the entire v5e VMEM), +2.4% at b32 in the
+    round-5 probe (149.4 -> 153.0), and the round-5 record config carries
+    it (b96 bf16 r1 = 190.3 clips/s).  Options must be set via PJRT
     ``compiler_options`` — client-side XLA_FLAGS never reach the
     server-side TPU compiler behind the tunnel.
 
-    DISABLED BY DEFAULT since round 4: the tunnel's compile helper
-    currently SIGKILLs ANY fresh train-step compile carrying the option
-    (isolated on one graph at one shape: option-less compiles in 690 s,
-    option-ful dies — a server-side regression; round 3 compiled the
-    same option-ful programs fine).  A +1.9% option is not worth a
-    framework that cannot compile.  Re-enable per run via
-    ``compiler_options={"xla_tpu_scoped_vmem_limit_kib": "65536"}``
-    (bench_train: ``--compiler_opts xla_tpu_scoped_vmem_limit_kib=65536``)
-    once the helper is fixed; cached option-ful executables (the b112
-    record among them) still load and run.
+    History: disabled during round 4 because the tunnel's compile helper
+    SIGKILLed ANY fresh train-step compile carrying an option (a
+    server-side regression).  Round 5 re-probed per the standing plan and
+    the helper compiles option-ful again (three fresh compiles, 460-750 s)
+    — re-enabled.  If the SIGKILL regression ever returns, pass
+    ``compiler_options=None`` (bench_train: ``--compiler_opts none``) or
+    make this return None again; cached option-ful executables still load
+    either way.
+
+    TPU-only: other backends reject unknown TPU options (and the CPU
+    suite/dryrun cache keys must not change with this default).
     """
-    return None
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "65536"}
 
 
 def make_eval_step(modules: VCAGANModules, flip_tta: bool = False):
