@@ -12,17 +12,38 @@ through jax.config before first device use instead.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses tests spawn
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# CANONICALIZE the persistent-cache key inputs (CLAUDE.md key traps): the
+# literal XLA_FLAGS string is hashed into every cache key, and
+# dryrun_multichip (which runs INSIDE the suite) scrubs the
+# force-device-count flag from os.environ mid-run — if conftest set it,
+# tests compiling after the dryrun would cache under different names than
+# tests before it, making the committed data/test_cache order-dependent.
+# The 8 virtual devices come from jax.config below instead; only
+# JAX_PLATFORMS rides the env for subprocesses (which set their own
+# device counts).
+flags = " ".join(
+    tok
+    for tok in os.environ.get("XLA_FLAGS", "").split()
+    if "xla_force_host_platform_device_count" not in tok
+)
+if flags:
+    os.environ["XLA_FLAGS"] = flags
+else:
+    os.environ.pop("XLA_FLAGS", None)
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
+# Second key trap: with the persistent cache on, jax embeds the CACHE DIR
+# PATH itself into the key via the autotune side-cache option — and the
+# dryrun flips this config globally mid-suite.  Pin it off up front so
+# every compile in any order (and any solo test run) keys identically.
+try:
+    jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+except Exception:
+    pass
 
 # Persistent compilation cache: repeated suite runs skip XLA compiles.
 _CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")

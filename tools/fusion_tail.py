@@ -38,11 +38,15 @@ def build_compiled(batch_size: int, window: int, bf16: bool,
     modules, cfg, g_tx, d_tx, state, batch = train_fixture(
         batch_size, window, bf16
     )
-    # donate=True matches bench_train/Trainer exactly, so the (expensive)
-    # TPU compile is a persistent-cache load whenever the same config was
-    # already benched — the analysis only needs compiled.as_text().
+    # donate=True + compiler_options=None matches the bench_train session
+    # executables exactly, so the (expensive) TPU compile is a
+    # persistent-cache load whenever the same config was already benched —
+    # the analysis only needs compiled.as_text().  (The shipped default
+    # adds the scoped-VMEM option; pass it explicitly here if you want to
+    # attribute THAT executable and are willing to compile it.)
     step_fn = make_train_step(modules, g_tx, d_tx, cfg, donate=True,
-                              remat=remat, d_phase=d_phase)
+                              remat=remat, d_phase=d_phase,
+                              compiler_options=None)
     return step_fn.lower(state, batch, jax.random.PRNGKey(0)).compile()
 
 

@@ -33,7 +33,15 @@ def main() -> None:
     p.add_argument(
         "--keep", type=int, default=24, help="max entries, largest first"
     )
+    p.add_argument(
+        "--exclude", type=str, default="jit_forward",
+        help="comma list of entry-name prefixes to skip (the constant-"
+        "embedding jit_forward eval executables are ~56 MB each and "
+        "compile in ~1 min — not worth committing; the multi-minute "
+        "costs are the ~2 MB jit_train_step programs)",
+    )
     args = p.parse_args()
+    excludes = tuple(x for x in args.exclude.split(",") if x)
 
     if not os.path.isdir(LIVE):
         raise SystemExit(f"no live cache at {LIVE}; run the suite first")
@@ -45,7 +53,11 @@ def main() -> None:
         ),
         reverse=True,
     )
-    picked = [(s, n) for s, n in entries if s >= args.min_bytes][: args.keep]
+    picked = [
+        (s, n)
+        for s, n in entries
+        if s >= args.min_bytes and not n.startswith(excludes)
+    ][: args.keep]
     if os.path.isdir(SEED):
         shutil.rmtree(SEED)
     os.makedirs(SEED)

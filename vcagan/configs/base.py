@@ -110,8 +110,10 @@ class DataConfig:
     # vcagan.data.prefetch.ProcessEpoch) instead of the in-process thread
     # pair: sidesteps GIL contention between collate and upload on
     # few-core hosts — the tpu-native analogue of the reference's
-    # DataLoader workers (train.py:139-146).  Measured at the b112 record
-    # config before flipping the default (tools/bench_e2e_train.py).
+    # DataLoader workers (train.py:139-146).  Measured round 5 at bf16
+    # b32 on the TPU and kept OPT-IN: threaded 50.7 clips/s vs process
+    # 46.6 (fork + shm copy-out overhead beats the GIL win on this
+    # 1-vCPU host; re-measure on many-core hosts).
     collate_process: bool = False
     pixel_mean: float = 0.4136
     pixel_std: float = 0.1700

@@ -181,14 +181,19 @@ class ProcessEpoch:
     """Decode+collate in a worker PROCESS, upload in this process.
 
     The thread-based ``ParallelEpoch`` two-stage producer measured 34.7
-    clips/s at the b112 record config against a perfect-overlap floor of
-    ~93: on a 1-vCPU host the collate thread and the (GIL-holding parts of
-    the) upload thread serialize.  Moving collate behind a fork() gives it
-    its own interpreter, so the only parent-side work per step is wrapping
-    the shared-memory block in numpy views and ``jax.device_put`` — whose
-    wire time releases the CPU to the child.  This is the tpu-native
-    analogue of the reference's DataLoader worker processes
+    clips/s at the round-4 b112 record config against a perfect-overlap
+    floor of ~93: on a 1-vCPU host the collate thread and the (GIL-holding
+    parts of the) upload thread serialize.  Moving collate behind a fork()
+    gives it its own interpreter; the parent-side work per step is copying
+    the shared-memory block out and ``jax.device_put``.  This is the
+    tpu-native analogue of the reference's DataLoader worker processes
     (reference: train.py:139-146).
+
+    MEASURED AND KEPT OPT-IN (round 5, tools/bench_e2e_train.py at bf16
+    b32 on the TPU, same session): threaded 50.7 clips/s vs process 46.6
+    — the per-epoch fork + shm copy-out overhead exceeds the GIL win at
+    this shape on a 1-vCPU host.  Worth re-measuring on a many-core host
+    at larger batches, where collate genuinely starves the upload thread.
 
     numpy is imported at module scope on purpose: the child inherits it by
     fork and never imports anything new.
@@ -230,39 +235,41 @@ class ProcessEpoch:
         child.start()
 
         def _reclaim(msg):
-            """shm payload -> dict of np arrays (copied out only by
-            device_put or np.array below), then unlink."""
+            """shm payload -> dict of np arrays, then unlink.
+
+            The arrays are ALWAYS copied out of the block before it is
+            released: device_put is asynchronous on every backend —
+            CPU PJRT aliases aligned host arrays outright, and the
+            tunneled TPU backend keeps the source buffer pinned until the
+            H2D transfer drains (observed live: ``shm.close()`` after
+            ``device_put`` of ``frombuffer`` views raises BufferError
+            'cannot close exported pointers exist').  One host memcpy
+            (~tens of ms at the largest batch) buys an shm block whose
+            lifetime is fully owned here; the upload still overlaps the
+            child's next collate because device_put returns immediately.
+            """
             name, meta = msg
             shm = shared_memory.SharedMemory(name=name)
             try:
                 raw = {}
-                view = None
                 for k, dt, shape, off in meta:
                     count = int(np.prod(shape, dtype=np.int64))
                     view = np.frombuffer(
                         shm.buf, dtype=np.dtype(dt), count=count, offset=off
                     ).reshape(shape)
-                    raw[k] = view
-                if self.to_device:
-                    import jax
-
-                    if jax.default_backend() == "cpu":
-                        # CPU PJRT device_put is ZERO-COPY for aligned host
-                        # arrays — the jax.Array would alias the shm block
-                        # we are about to unlink.  Accelerator backends
-                        # copy to the transfer machinery before returning.
-                        raw = {k: np.array(v) for k, v in raw.items()}
-                    out = jax.device_put(raw)
-                else:
-                    out = {k: np.array(v) for k, v in raw.items()}
-                del raw, view
-                return out
+                    raw[k] = np.array(view)
+                    del view
             finally:
                 shm.close()
                 try:
                     shm.unlink()
                 except FileNotFoundError:
                     pass
+            if self.to_device:
+                import jax
+
+                return jax.device_put(raw)
+            return raw
 
         try:
             while True:
